@@ -1,0 +1,175 @@
+"""Power-iteration PageRank as DataFrame supersteps.
+
+Semantics match the reference kernel ``_pagerank_scipy``
+(``networkx/algorithms/link_analysis/pagerank_alg.py:358-499``) exactly:
+
+* adjacency: directed edge table; undirected graphs symmetrized
+  (``convert_matrix.py:600-613``); parallel edges already summed by
+  :meth:`Graph.from_edges`,
+* rows normalized by out-weight sum, zero rows left zero
+  (``pagerank_alg.py:461-465``),
+* ``x0 = 1/N`` or normalized ``nstart`` (``:468-472``),
+* personalization vector normalized; **all-zero → ZeroDivisionError**
+  (``:475-481``),
+* dangling weights default to the personalization vector (``:483-488``);
+  dangling set = vertices with zero out-weight sum (``:489``),
+* update ``x = α(xA + Σx[dangling]·dw) + (1-α)p`` (``:494``),
+* stop when the L1 error is ``< N·tol`` — note the N factor
+  (``:496-497``); raise :class:`PowerIterationFailedConvergence` after
+  ``max_iter`` supersteps (``:499``).
+
+Physical plan per superstep: one shuffle join (ranks ⋈ normalized-edges on
+``src``) + one hash aggregation on ``dst`` for the scatter, one scalar
+aggregate for the dangling mass, one for the residual.  The normalized edge
+table is loop-invariant and cached once (the reference hoists the same
+normalization out of the loop, ``stochastic.py:47-52``).  Lineage is cut
+every superstep via :class:`SuperstepRunner`.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkx_spark.graph import Graph, SRC, DST, WEIGHT, ID
+from networkx_spark.superstep import SuperstepRunner
+
+
+class PowerIterationFailedConvergence(Exception):
+    """Raised when power iteration exceeds max_iter (``pagerank_alg.py:499``)."""
+
+    def __init__(self, num_iterations: int):
+        self.num_iterations = num_iterations
+        super().__init__(f"power iteration failed to converge within {num_iterations} iterations")
+
+
+def _vector_df(spark, vertices: DataFrame, mapping, col: str) -> DataFrame:
+    """(id, col) from a small driver-side dict or a DataFrame; absent ids → 0."""
+    if isinstance(mapping, DataFrame):
+        m = mapping.select(F.col(mapping.columns[0]).alias(ID),
+                           F.col(mapping.columns[1]).cast("double").alias(col))
+    else:
+        rows = [(str(k), float(v)) for k, v in mapping.items()]
+        m = spark.createDataFrame(rows, schema=f"id string, {col} double")
+    return (vertices.join(m, ID, "left")
+            .select(ID, F.coalesce(col, F.lit(0.0)).alias(col)))
+
+
+def pagerank(
+    g: Graph,
+    alpha: float = 0.85,
+    personalization: Union[dict, DataFrame, None] = None,
+    max_iter: int = 100,
+    tol: float = 1.0e-6,
+    nstart: Union[dict, DataFrame, None] = None,
+    weight: bool = True,
+    dangling: Union[dict, DataFrame, None] = None,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_interval: int = 1,
+    resume: bool = False,
+    runner: Optional[SuperstepRunner] = None,
+) -> DataFrame:
+    """Return a DataFrame ``(id, rank)``; empty graph → empty result
+    (reference returns ``{}``, ``pagerank_alg.py:103-105``).
+
+    ``checkpoint_dir`` enables durable per-superstep snapshots of the rank
+    vector with metrics; ``resume=True`` restarts from the newest snapshot
+    (superstep counting continues — convergence is a property of the state,
+    not the iteration count).
+    """
+    spark = g.edges.sparkSession
+    vertices = g.vertices().cache()
+    n = vertices.count()
+    if n == 0:
+        return spark.createDataFrame([], schema="id string, rank double")
+
+    adj = g.symmetrized()
+    if not weight:
+        adj = adj.withColumn(WEIGHT, F.lit(1.0))
+
+    # loop-invariant: right-stochastic normalization + dangling set
+    out_w = adj.groupBy(SRC).agg(F.sum(WEIGHT).alias("_S"))
+    norm_edges = (adj.join(out_w, SRC)
+                  .filter(F.col("_S") != 0)
+                  .select(SRC, DST, (F.col(WEIGHT) / F.col("_S")).alias("_w"))
+                  ).cache()
+    non_dangling = out_w.filter(F.col("_S") != 0).select(F.col(SRC).alias(ID))
+    dangling_set = vertices.join(non_dangling, ID, "anti").cache()
+
+    # personalization p (``:475-481``)
+    if personalization is None:
+        p = vertices.withColumn("p", F.lit(1.0 / n))
+    else:
+        p = _vector_df(spark, vertices, personalization, "p")
+        s = p.agg(F.sum("p")).collect()[0][0] or 0.0
+        if s == 0:
+            raise ZeroDivisionError("personalization vector sums to zero")
+        p = p.withColumn("p", F.col("p") / F.lit(s))
+
+    # dangling weights default to p (``:483-488``)
+    if dangling is None:
+        dw = p.select(ID, F.col("p").alias("dw"))
+    else:
+        dw = _vector_df(spark, vertices, dangling, "dw")
+        s = dw.agg(F.sum("dw")).collect()[0][0] or 0.0
+        if s == 0:
+            raise ZeroDivisionError("dangling vector sums to zero")
+        dw = dw.withColumn("dw", F.col("dw") / F.lit(s))
+
+    statics = (p.join(dw, ID)
+               .join(dangling_set.withColumn("_d", F.lit(True)), ID, "left")
+               .select(ID, "p", "dw", F.coalesce("_d", F.lit(False)).alias("is_dangling"))
+               ).cache()
+    statics.count()
+
+    # x0 (``:468-472``)
+    if nstart is None:
+        x = vertices.withColumn("rank", F.lit(1.0 / n))
+    else:
+        x = _vector_df(spark, vertices, nstart, "rank")
+        s = x.agg(F.sum("rank")).collect()[0][0] or 0.0
+        if s == 0:
+            raise ZeroDivisionError("nstart vector sums to zero")
+        x = x.withColumn("rank", F.col("rank") / F.lit(s))
+
+    own_runner = runner is None
+    if own_runner:
+        runner = SuperstepRunner(checkpoint_dir, name="pagerank_state",
+                                 interval=checkpoint_interval)
+    start_step = 0
+    if resume:
+        step, saved = runner.latest(spark)
+        if saved is not None:
+            x, start_step = saved.select(ID, "rank"), step + 1
+    try:
+        x = x.localCheckpoint(eager=True)
+        for it in range(start_step, start_step + max_iter):
+            dmass = (x.join(statics.filter("is_dangling").select(ID), ID, "semi")
+                     .agg(F.sum("rank")).collect()[0][0]) or 0.0
+            contrib = (x.join(norm_edges, x[ID] == norm_edges[SRC])
+                       .groupBy(F.col(DST).alias(ID))
+                       .agg(F.sum(F.col("rank") * F.col("_w")).alias("_c")))
+            x_new = (statics.join(contrib, ID, "left")
+                     .select(ID,
+                             (F.lit(alpha) * (F.coalesce("_c", F.lit(0.0))
+                                              + F.lit(dmass) * F.col("dw"))
+                              + F.lit(1.0 - alpha) * F.col("p")).alias("rank")))
+            x_new = runner.checkpoint(
+                x_new, it, extra={"dangling_mass": dmass, "algorithm": "pagerank"})
+            err = (x_new.join(x.withColumnRenamed("rank", "_prev"), ID)
+                   .agg(F.sum(F.abs(F.col("rank") - F.col("_prev")))).collect()[0][0]) or 0.0
+            runner.update_last(residual=err)
+            x = x_new
+            if err < n * tol:
+                return x.select(ID, "rank")
+        raise PowerIterationFailedConvergence(max_iter)
+    finally:
+        for df in (vertices, norm_edges, dangling_set, statics):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        if own_runner:
+            runner.close()

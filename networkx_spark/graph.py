@@ -1,0 +1,300 @@
+"""The engine's one data abstraction: an edge-table graph.
+
+The reference stores a graph as a dict-of-dict-of-dict adjacency
+(``networkx/classes/graph.py:228-232``), duplicating every edge under both
+endpoints.  Here a graph is
+
+* ``edges(src, dst, weight)`` — one row per distinct edge; undirected edges
+  stored canonically (``src <= dst``) exactly once,
+* an optional ``vertices(id)`` DataFrame carrying isolated vertices
+  (the reference's ``_node`` dict, ``graph.py:365-368``).
+
+Undirected adjacency is *derived on demand* by symmetrization — both
+directions emitted, self-loops once — mirroring what the reference's
+``to_scipy_sparse_array`` does before every linear-algebra kernel
+(``networkx/convert_matrix.py:600-613``).  Directed graphs never materialize
+a reverse adjacency (the reference's ``_pred``, ``digraph.py:314``):
+"predecessors" is just a groupBy on ``dst``.
+
+All views here are lazy DataFrames; Catalyst gives predicate pushdown and
+column pruning for free, which is the distributed analogue of the
+reference's zero-copy subgraph views (``networkx/classes/graphviews.py``).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SRC, DST, WEIGHT = "src", "dst", "weight"
+ID, VID = "id", "vid"
+
+
+class Graph:
+    """An immutable (snapshot-semantics) edge-table graph.
+
+    Parameters
+    ----------
+    edges : DataFrame with columns ``src, dst[, weight]``.  Rows are assumed
+        already canonical (see :meth:`from_edges` for normalization).
+    directed : directed vs undirected semantics.
+    vertices : optional DataFrame with column ``id``; union-ed with edge
+        endpoints so isolated vertices survive (reference keeps them in
+        ``_node``, ``graph.py:365``).
+    """
+
+    def __init__(self, edges: DataFrame, directed: bool = True,
+                 vertices: Optional[DataFrame] = None):
+        cols = [SRC, DST] + ([WEIGHT] if WEIGHT in edges.columns else [])
+        self._edges = edges.select(*cols)
+        self.directed = directed
+        self._extra_vertices = vertices.select(ID) if vertices is not None else None
+
+    # ------------------------------------------------------------------ build
+    @classmethod
+    def from_edges(
+        cls,
+        edges: DataFrame,
+        directed: bool = True,
+        src: str = SRC,
+        dst: str = DST,
+        weight: Optional[str] = None,
+        vertices: Optional[DataFrame] = None,
+        combine: str = "sum",
+    ) -> "Graph":
+        """Normalize an arbitrary edge DataFrame into a canonical Graph.
+
+        * renames/selects ``src, dst`` (+ optional ``weight`` cast to double;
+          null weight ⇒ 1.0, the reference default
+          ``G.edges(data=weight, default=1)``, ``convert_matrix.py:592-594``),
+        * undirected edges canonicalized to ``src <= dst``,
+        * duplicate (parallel) edges collapsed; ``combine='sum'`` adds their
+          weights — the semantics MultiGraph parallel edges get inside the
+          reference's CSR build (COO duplicates sum, ``convert_matrix.py:615``);
+          ``combine='max'``/``'min'`` for last/first-wins-ish determinism.
+        """
+        e = edges.select(
+            F.col(src).alias(SRC),
+            F.col(dst).alias(DST),
+            (F.coalesce(F.col(weight).cast("double"), F.lit(1.0)) if weight
+             else F.lit(1.0)).alias(WEIGHT),
+        )
+        if not directed:
+            e = e.select(
+                F.least(SRC, DST).alias(SRC),
+                F.greatest(SRC, DST).alias(DST),
+                WEIGHT,
+            )
+        agg = {"sum": F.sum, "max": F.max, "min": F.min}[combine]
+        e = e.groupBy(SRC, DST).agg(agg(WEIGHT).alias(WEIGHT))
+        return cls(e, directed=directed, vertices=vertices)
+
+    @classmethod
+    def from_edge_list(cls, spark: SparkSession, pairs: Iterable[tuple],
+                       directed: bool = True, nodes: Iterable | None = None) -> "Graph":
+        """Tiny-fixture constructor (tests): list of (u, v) or (u, v, w).
+
+        Mirrors ``nx.from_edgelist`` (``networkx/convert.py:478``).
+        """
+        pairs = list(pairs)
+        rows = [(str(p[0]), str(p[1]), float(p[2]) if len(p) > 2 else 1.0) for p in pairs]
+        e = spark.createDataFrame(rows or [("", "", 1.0)],
+                                  schema="src string, dst string, weight double")
+        if not rows:
+            e = e.limit(0)
+        v = None
+        if nodes is not None:
+            node_rows = [(str(n),) for n in nodes]
+            v = spark.createDataFrame(node_rows or [("",)], schema="id string")
+            if not node_rows:
+                v = v.limit(0)
+        return cls.from_edges(e, directed=directed, weight=WEIGHT, vertices=v)
+
+    # ------------------------------------------------------------- properties
+    @property
+    def edges(self) -> DataFrame:
+        """Canonical edge rows (undirected: one row per edge, src<=dst)."""
+        return self._edges
+
+    def vertices(self) -> DataFrame:
+        """All vertex ids: endpoints ∪ explicit isolated vertices.
+
+        Reference: ``G.nodes`` (``graph.py:739``).
+        """
+        v = (self._edges.select(F.col(SRC).alias(ID))
+             .union(self._edges.select(F.col(DST).alias(ID))))
+        if self._extra_vertices is not None:
+            v = v.union(self._extra_vertices)
+        return v.distinct()
+
+    def symmetrized(self) -> DataFrame:
+        """Adjacency rows with both directions, self-loops once.
+
+        Exactly the reference's undirected symmetrization before CSR
+        construction (``convert_matrix.py:600-613``): emit ``A + A.T`` then
+        subtract the once-counted diagonal.  For directed graphs this is the
+        edge table itself.
+        """
+        if self.directed:
+            return self._edges
+        rev = self._edges.filter(F.col(SRC) != F.col(DST)).select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+        return self._edges.unionByName(rev)
+
+    def reverse(self) -> "Graph":
+        """Directed edge reversal — a column swap, no data movement.
+
+        Reference: ``G.reverse()`` / ``reverse_view`` (``graphviews.py:238``).
+        """
+        if not self.directed:
+            return self
+        rev = self._edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+        return Graph(rev, directed=True, vertices=self._extra_vertices)
+
+    def to_undirected(self) -> "Graph":
+        """Collapse direction (reference ``graph.py:1711``); weights of
+        antiparallel pairs sum (CSR-symmetrization semantics)."""
+        if not self.directed:
+            return self
+        return Graph.from_edges(self._edges, directed=False, weight=WEIGHT,
+                                vertices=self._extra_vertices)
+
+    # ---------------------------------------------------------------- degrees
+    def out_degrees(self, weighted: bool = False) -> DataFrame:
+        """(id, degree) per vertex, 0 for sinks/isolated.
+
+        Directed out-degree (``digraph.py:1142``) or undirected degree; for
+        undirected graphs a self-loop counts TWICE, matching
+        ``DegreeView.__getitem__`` (``reportviews.py:521-528``) — the
+        symmetrized table keeps the loop once, so we add its weight again.
+        """
+        adj = self.symmetrized()
+        val = F.col(WEIGHT) if weighted else F.lit(1)
+        if not self.directed:
+            # self-loop contributes twice to undirected degree
+            val = F.when(F.col(SRC) == F.col(DST), val * 2).otherwise(val)
+        deg = adj.groupBy(F.col(SRC).alias(ID)).agg(
+            F.sum(val).cast("double" if weighted else "long").alias("degree"))
+        return (self.vertices().join(deg, ID, "left")
+                .select(ID, F.coalesce("degree", F.lit(0)).alias("degree")))
+
+    def in_degrees(self, weighted: bool = False) -> DataFrame:
+        """(id, degree): directed in-degree (``digraph.py:1095``) — a groupBy
+        on ``dst``, the engine's stand-in for the reference's materialized
+        ``_pred`` map."""
+        adj = self.symmetrized()
+        val = F.sum(F.col(WEIGHT) if weighted else F.lit(1))
+        deg = adj.groupBy(F.col(DST).alias(ID)).agg(
+            val.cast("double" if weighted else "long").alias("degree"))
+        return (self.vertices().join(deg, ID, "left")
+                .select(ID, F.coalesce("degree", F.lit(0)).alias("degree")))
+
+    def degrees(self, weighted: bool = False) -> DataFrame:
+        """Undirected degree, or total degree (in+out) for directed graphs."""
+        if not self.directed:
+            return self.out_degrees(weighted)
+        val = F.col(WEIGHT) if weighted else F.lit(1)
+        both = (self._edges.select(F.col(SRC).alias(ID), val.alias("d"))
+                .unionByName(self._edges.select(F.col(DST).alias(ID), val.alias("d"))))
+        deg = both.groupBy(ID).agg(F.sum("d").cast("double" if weighted else "long").alias("degree"))
+        return (self.vertices().join(deg, ID, "left")
+                .select(ID, F.coalesce("degree", F.lit(0)).alias("degree")))
+
+    # ----------------------------------------------------------------- counts
+    def number_of_vertices(self) -> int:
+        """Reference ``len(G)`` (``graph.py:469``)."""
+        return self.vertices().count()
+
+    def number_of_edges(self) -> int:
+        """Canonical edge count (undirected edge counted once,
+        ``graph.py:1925``)."""
+        return self._edges.count()
+
+    def size(self, weighted: bool = False) -> float:
+        """Reference ``G.size(weight=...)`` (``graph.py:1882``)."""
+        if not weighted:
+            return float(self.number_of_edges())
+        row = self._edges.agg(F.sum(WEIGHT).alias("s")).collect()[0]
+        return float(row["s"] or 0.0)
+
+    def density(self) -> float:
+        """m/(n(n-1)), doubled when undirected (``function.py:104``)."""
+        n = self.number_of_vertices()
+        m = self.number_of_edges()
+        if n <= 1:
+            return 0.0
+        d = m / (n * (n - 1))
+        return d * 2 if not self.directed else d
+
+    # ------------------------------------------------------------- subgraphs
+    def subgraph(self, nodes: DataFrame) -> "Graph":
+        """Induced subgraph: keep edges with BOTH endpoints in ``nodes``
+        (semi-joins).  Lazy, like the reference's ``subgraph_view``
+        (``graphviews.py:136``)."""
+        n = nodes.select(F.col(nodes.columns[0]).alias(ID))
+        e = (self._edges
+             .join(n.withColumnRenamed(ID, SRC), SRC, "semi")
+             .join(n.withColumnRenamed(ID, DST), DST, "semi")
+             .select(SRC, DST, WEIGHT))
+        return Graph(e, directed=self.directed, vertices=n)
+
+    def edge_subgraph(self, edges: DataFrame) -> "Graph":
+        """Keep listed edges only (``graph.py:1842``); endpoints become the
+        vertex set implicitly."""
+        keys = edges.select(F.col(edges.columns[0]).alias(SRC),
+                            F.col(edges.columns[1]).alias(DST))
+        if not self.directed:
+            keys = keys.select(F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST))
+        e = self._edges.join(keys, [SRC, DST], "semi")
+        return Graph(e, directed=self.directed)
+
+    def remove_selfloops(self) -> "Graph":
+        return Graph(self._edges.filter(F.col(SRC) != F.col(DST)),
+                     directed=self.directed, vertices=self._extra_vertices)
+
+    def selfloops(self) -> DataFrame:
+        """Reference ``selfloop_edges`` (``classes/function.py:1147``)."""
+        return self._edges.filter(F.col(SRC) == F.col(DST))
+
+    def isolates(self) -> DataFrame:
+        """Vertices with no incident edge (``algorithms/isolate.py``):
+        anti-join of the vertex set against edge endpoints."""
+        ends = (self._edges.select(F.col(SRC).alias(ID))
+                .union(self._edges.select(F.col(DST).alias(ID))).distinct())
+        return self.vertices().join(ends, ID, "anti")
+
+    def has_vertex(self, v) -> bool:
+        """Point lookup — test convenience only (reference ``graph.py:873``);
+        at scale membership is a semi-join, never a driver round-trip."""
+        return self.vertices().filter(F.col(ID) == F.lit(v)).limit(1).count() > 0
+
+    def has_edge(self, u, v) -> bool:
+        a, b = (u, v)
+        cond = (F.col(SRC) == F.lit(a)) & (F.col(DST) == F.lit(b))
+        if not self.directed:
+            cond = cond | ((F.col(SRC) == F.lit(b)) & (F.col(DST) == F.lit(a)))
+        return self._edges.filter(cond).limit(1).count() > 0
+
+    # ------------------------------------------------------------------- vids
+    def with_vids(self) -> tuple[DataFrame, DataFrame]:
+        """Dense-id compaction: ``(vertex_map(id, vid), edges(src_vid, dst_vid,
+        weight))``.
+
+        The distributed analogue of the reference's
+        ``index = dict(zip(nodelist, range(nlen)))`` (``convert_matrix.py:591``)
+        / ``convert_node_labels_to_integers`` (``relabel.py:227``).  vids are
+        dense 0..N-1 ordered by id (deterministic, resume-stable).  The
+        single-partition ``row_number`` window is the textbook bottleneck —
+        here it is confined to the (id) dictionary build, run once per
+        snapshot; iteration state then lives on longs.  On a cluster swap in
+        a two-level (partition offset + local rank) assignment.
+        """
+        w = Window.orderBy(ID)
+        vmap = self.vertices().withColumn(VID, F.row_number().over(w) - F.lit(1))
+        e = (self._edges
+             .join(vmap.select(F.col(ID).alias(SRC), F.col(VID).alias("src_vid")), SRC)
+             .join(vmap.select(F.col(ID).alias(DST), F.col(VID).alias("dst_vid")), DST)
+             .select(F.col("src_vid").alias(SRC), F.col("dst_vid").alias(DST), WEIGHT))
+        return vmap, e

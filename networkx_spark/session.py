@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the link-graph workload.
+
+Local mode is a single JVM; on a real cluster the same settings apply, plus
+``spark-submit --py-files`` packaging (see README).  AQE stays on so skewed
+shuffle partitions from hot vertices get split at runtime; explicit salting
+for extreme skew lives in :mod:`networkx_spark.partitioning`.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "networkx-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` → ``$SPARK_GRAFT_CPUS`` or ``local[*]``.  Shuffle
+    partitions default to the core count: the per-round bench data is far
+    below the size where >1 partition per core pays off, and the setting is
+    explicit so a cluster deployment overrides it.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+    else:
+        master = f"local[{cores}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cores or int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
