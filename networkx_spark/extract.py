@@ -1,0 +1,108 @@
+"""HTML link + text extraction: the pages → edges front end.
+
+The reference has no HTML layer (NetworkX starts at the graph); this module
+is net-new engine code required by the input contract: an Iceberg/parquet
+table ``pages(url, warc_ts, html, text, lang)`` of Common-Crawl-style web
+pages is turned into the ``edges(src, dst)`` table the algorithms run on.
+
+The extractor is a single pure function (stdlib ``html.parser``, pinned — no
+external deps) used in BOTH places:
+
+* driver/test side, as the local oracle, and
+* executor side, inside ``mapInPandas`` over Arrow record batches,
+
+so extracted text is **byte-identical per url** by construction (the
+per-row invariant from BASELINE.json ``input_hint``).  HTML parsing is
+inherently per-document Python; the Arrow batching amortizes serde, and the
+stage is embarrassingly parallel (no shuffle) — it scales with input splits.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator
+from urllib.parse import urljoin
+
+import pandas as pd
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+EDGES_SCHEMA = "src string, dst string"
+
+
+class _LinkTextParser(HTMLParser):
+    """Collects absolute hrefs and visible text (script/style skipped)."""
+
+    _SKIP = {"script", "style", "noscript", "template"}
+
+    def __init__(self, base_url: str):
+        super().__init__(convert_charrefs=True)
+        self.base = base_url
+        self.links: list[str] = []
+        self.chunks: list[str] = []
+        self._skip_depth = 0
+
+    def handle_starttag(self, tag, attrs):
+        if tag in self._SKIP:
+            self._skip_depth += 1
+        elif tag == "a":
+            href = dict(attrs).get("href")
+            if href:
+                self.links.append(urljoin(self.base, href))
+
+    def handle_endtag(self, tag):
+        if tag in self._SKIP and self._skip_depth > 0:
+            self._skip_depth -= 1
+
+    def handle_data(self, data):
+        if self._skip_depth == 0:
+            self.chunks.append(data)
+
+
+def parse_page(html_bytes: bytes, base_url: str) -> tuple[str, list[str]]:
+    """(normalized text, absolute out-links) — THE extractor; deterministic:
+    whitespace-normalized token join, links in document order."""
+    p = _LinkTextParser(base_url)
+    p.feed(html_bytes.decode("utf-8", errors="replace"))
+    p.close()
+    text = " ".join(" ".join(p.chunks).split())
+    return text, p.links
+
+
+def extract_text(html_bytes: bytes, base_url: str = "") -> str:
+    return parse_page(html_bytes, base_url)[0]
+
+
+def extract_links(html_bytes: bytes, base_url: str) -> list[str]:
+    return parse_page(html_bytes, base_url)[1]
+
+
+def edges_from_pages(pages) -> "pyspark.sql.DataFrame":  # noqa: F821
+    """pages DataFrame → edges(src, dst): one row per anchor, document order
+    dropped (the edge table is a set).  Self-links removed, duplicates
+    collapsed — matching :meth:`Graph.from_edges` canonicalization
+    downstream."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            srcs, dsts = [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for link in extract_links(bytes(html), url):
+                    if link != url:
+                        srcs.append(url)
+                        dsts.append(link)
+            yield pd.DataFrame({"src": srcs, "dst": dsts})
+
+    return pages.select("url", "html").mapInPandas(batches, schema=EDGES_SCHEMA).distinct()
+
+
+def texts_from_pages(pages) -> "pyspark.sql.DataFrame":  # noqa: F821
+    """pages → (url, extracted_text); the invariant test compares this
+    byte-for-byte against the golden ``text`` column."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = [extract_text(bytes(h), u) for u, h in zip(pdf["url"], pdf["html"])]
+            yield pd.DataFrame({"url": pdf["url"], "extracted_text": out})
+
+    return pages.select("url", "html").mapInPandas(
+        batches, schema="url string, extracted_text string")
