@@ -120,19 +120,21 @@ def pagerank(
 
     statics = (p.join(dw, ID)
                .join(dangling_set.withColumn("_d", F.lit(True)), ID, "left")
-               .select(ID, "p", "dw", F.coalesce("_d", F.lit(False)).alias("is_dangling"))
-               ).cache()
-    statics.count()
+               .select(ID, "p", "dw", F.coalesce("_d", F.lit(False)).alias("is_dangling")))
 
     # x0 (``:468-472``)
     if nstart is None:
-        x = vertices.withColumn("rank", F.lit(1.0 / n))
+        x0 = vertices.withColumn("rank", F.lit(1.0 / n))
     else:
-        x = _vector_df(spark, vertices, nstart, "rank")
-        s = x.agg(F.sum("rank")).collect()[0][0] or 0.0
+        x0 = _vector_df(spark, vertices, nstart, "rank")
+        s = x0.agg(F.sum("rank")).collect()[0][0] or 0.0
         if s == 0:
             raise ZeroDivisionError("nstart vector sums to zero")
-        x = x.withColumn("rank", F.col("rank") / F.lit(s))
+        x0 = x0.withColumn("rank", F.col("rank") / F.lit(s))
+
+    # the state carries the static per-vertex columns so each superstep is a
+    # single join against the contributions — no repeated statics join
+    state = statics.join(x0, ID).select(ID, "rank", "p", "dw", "is_dangling")
 
     own_runner = runner is None
     if own_runner:
@@ -142,31 +144,39 @@ def pagerank(
     if resume:
         step, saved = runner.latest(spark)
         if saved is not None:
-            x, start_step = saved.select(ID, "rank"), step + 1
+            state, start_step = saved.drop("_prev"), step + 1
     try:
-        x = x.localCheckpoint(eager=True)
+        state = state.localCheckpoint(eager=True)
+        dmass = (state.agg(F.sum(F.when(F.col("is_dangling"), F.col("rank"))
+                                 .otherwise(F.lit(0.0)))).collect()[0][0]) or 0.0
         for it in range(start_step, start_step + max_iter):
-            dmass = (x.join(statics.filter("is_dangling").select(ID), ID, "semi")
-                     .agg(F.sum("rank")).collect()[0][0]) or 0.0
-            contrib = (x.join(norm_edges, x[ID] == norm_edges[SRC])
+            contrib = (state.select(ID, "rank")
+                       .join(norm_edges, state[ID] == norm_edges[SRC])
                        .groupBy(F.col(DST).alias(ID))
                        .agg(F.sum(F.col("rank") * F.col("_w")).alias("_c")))
-            x_new = (statics.join(contrib, ID, "left")
-                     .select(ID,
-                             (F.lit(alpha) * (F.coalesce("_c", F.lit(0.0))
-                                              + F.lit(dmass) * F.col("dw"))
-                              + F.lit(1.0 - alpha) * F.col("p")).alias("rank")))
-            x_new = runner.checkpoint(
-                x_new, it, extra={"dangling_mass": dmass, "algorithm": "pagerank"})
-            err = (x_new.join(x.withColumnRenamed("rank", "_prev"), ID)
-                   .agg(F.sum(F.abs(F.col("rank") - F.col("_prev")))).collect()[0][0]) or 0.0
+            new_state = (state.withColumnRenamed("rank", "_prev")
+                         .join(contrib, ID, "left")
+                         .select(ID,
+                                 (F.lit(alpha) * (F.coalesce("_c", F.lit(0.0))
+                                                  + F.lit(dmass) * F.col("dw"))
+                                  + F.lit(1.0 - alpha) * F.col("p")).alias("rank"),
+                                 "p", "dw", "is_dangling", "_prev"))
+            new_state = runner.checkpoint(
+                new_state, it, rows=n,
+                extra={"dangling_mass": dmass, "algorithm": "pagerank"})
+            # one aggregation: L1 residual + next superstep's dangling mass
+            agg = new_state.agg(
+                F.sum(F.abs(F.col("rank") - F.col("_prev"))).alias("err"),
+                F.sum(F.when(F.col("is_dangling"), F.col("rank"))
+                      .otherwise(F.lit(0.0))).alias("dmass")).collect()[0]
+            err, dmass = (agg["err"] or 0.0), (agg["dmass"] or 0.0)
             runner.update_last(residual=err)
-            x = x_new
+            state = new_state.drop("_prev")
             if err < n * tol:
-                return x.select(ID, "rank")
+                return state.select(ID, "rank")
         raise PowerIterationFailedConvergence(max_iter)
     finally:
-        for df in (vertices, norm_edges, dangling_set, statics):
+        for df in (vertices, norm_edges, dangling_set):
             try:
                 df.unpersist()
             except Exception:

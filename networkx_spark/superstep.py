@@ -73,11 +73,15 @@ class SuperstepRunner:
         return s, spark.read.parquet(self._step_path(s))
 
     def checkpoint(self, df: DataFrame, step: int, residual: float | None = None,
-                   force: bool = False, extra: dict | None = None) -> DataFrame:
+                   force: bool = False, extra: dict | None = None,
+                   rows: int | None = None) -> DataFrame:
         """Cut lineage; durably snapshot on the cadence; record metrics.
 
         Returns the (possibly re-read) DataFrame to carry into the next
-        superstep.
+        superstep.  Pass ``rows`` when the caller already knows the state
+        cardinality (vertex state is constant-size) to skip a count job —
+        job-launch latency, not data volume, dominates superstep cost on
+        small inputs.
         """
         t0 = time.time()
         durable = self.dir is not None and (force or step % self.interval == 0)
@@ -87,13 +91,13 @@ class SuperstepRunner:
                 shutil.rmtree(path)
             df.write.mode("overwrite").parquet(path)
             out = df.sparkSession.read.parquet(path)
-            rows = out.count()
+            rows = out.count() if rows is None else rows
             nbytes = sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(path) for f in fs)
         else:
             out = df.localCheckpoint(eager=True)
-            rows = out.count()
+            rows = out.count() if rows is None else rows
             nbytes = None
         m = {
             "superstep": step,
