@@ -1,0 +1,177 @@
+"""Document deduplication for large-scale training-data pipelines.
+
+Not part of the reference library (NetworkX has no document layer) — these
+are the engine-level operations a Common-Crawl-scale corpus needs before
+graph extraction, built Spark-first:
+
+* **exact**: hash-groupBy on ``md5(text)`` — one shuffle.
+* **MinHash + LSH**: word shingles → k independent 31-bit affine hashes →
+  per-doc signature → banded bucket join → candidate pairs → exact Jaccard
+  verify.  Only the banded join shuffles pair data; the signature build is
+  one groupBy.
+* **SimHash**: 32-bit majority fingerprint; near-dup = small Hamming
+  distance.
+* **n-gram Jaccard**: exact pairwise similarity via a shingle-equijoin —
+  quadratic in bucket size, used as the verifier behind LSH candidates (or
+  standalone on small corpora).
+
+Every hash here is engine-portable arithmetic (md5-prefix → 60-bit int,
+affine mod 2³¹−1) so DuckDB can run the identical computation as the
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# fixed affine-hash constants (seed-derived once, shared with the SQL oracle)
+MERSENNE31 = (1 << 31) - 1
+MINHASH_AB = [
+    (1203114875, 613423303), (1589400307, 907716109), (600017753, 1394484313),
+    (368374639, 1840116257), (931675355, 279855217), (1653689561, 1989231199),
+    (1723403349, 132995269), (484882573, 1326009343),
+]
+DEFAULT_BANDS = 4  # 8 hashes → 4 bands × 2 rows
+
+
+def _norm_text(col):
+    """lower + collapse whitespace — shared normalization (portable SQL:
+    ``regexp_replace(lower(text), '\\s+', ' ')``)."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(doc_id, canonical_id, content_hash): canonical = min doc_id sharing
+    the exact (normalized) text.  Rows with canonical_id != doc_id are the
+    droppable duplicates."""
+    h = docs.select(F.col(id_col).alias("doc_id"),
+                    F.md5(_norm_text(F.col(text_col))).alias("content_hash"))
+    canon = h.groupBy("content_hash").agg(F.min("doc_id").alias("canonical_id"))
+    return (h.join(canon, "content_hash")
+            .select("doc_id", "canonical_id", "content_hash"))
+
+
+def shingles(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
+             text_col: str = "text") -> DataFrame:
+    """(doc_id, shingle) — distinct word k-grams of the normalized text.
+    Built with JVM-side array functions (no Python in the hot path):
+    split → sliding window via transform over index sequence."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(_norm_text(F.col(text_col)), " ").alias("_t"))
+    expr = (f"transform(sequence(0, greatest(size(_t) - {k}, -1)), "
+            f"i -> array_join(slice(_t, i + 1, {k}), ' '))")
+    return (toks.select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
+            .distinct())
+
+
+def shingle_hashes(sh: DataFrame) -> DataFrame:
+    """(doc_id, h): 60-bit integer per shingle — md5 prefix, portable."""
+    return sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"))
+
+
+def minhash_signatures(docs: DataFrame, k: int = 3,
+                       num_hashes: int = len(MINHASH_AB)) -> DataFrame:
+    """(doc_id, mh_0..mh_{n-1}): column-per-hash signature (column layout
+    keeps the band join free of array serde)."""
+    hs = shingle_hashes(shingles(docs, k))
+    base = hs.withColumn("hm", F.col("h") % F.lit(MERSENNE31))
+    aggs = [
+        F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+    ]
+    return base.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame:
+    """(a, b) candidate pairs (a < b) sharing at least one LSH band.
+
+    Bands are unioned, then pairs come from a self-join per bucket — the
+    classic band trick; bucket sizes are small by construction so the join
+    fan-out stays bounded (hot buckets would indicate degenerate text)."""
+    n = len([c for c in sig.columns if c.startswith("mh_")])
+    rows_per_band = n // bands
+    buckets = None
+    for b in range(bands):
+        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        part = sig.select("doc_id", F.lit(b).alias("band"),
+                          F.concat_ws("_", *cols).alias("key"))
+        buckets = part if buckets is None else buckets.unionByName(part)
+    left = buckets.select("band", "key", F.col("doc_id").alias("a"))
+    right = buckets.select("band", "key", F.col("doc_id").alias("b"))
+    return (left.join(right, ["band", "key"])
+            .filter(F.col("a") < F.col("b"))
+            .select("a", "b").distinct())
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.0,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """(a, b, jaccard): exact word-k-gram Jaccard for all pairs sharing ≥1
+    shingle (or only ``candidates`` when given — the LSH scale path)."""
+    sh = shingles(docs, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (sh.select(F.col("doc_id").alias("a"), "shingle")
+             .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+             .filter(F.col("a") < F.col("b")))
+    if candidates is not None:
+        inter = inter.join(candidates, ["a", "b"], "semi")
+    inter = inter.groupBy("a", "b").agg(F.count("*").alias("inter"))
+    out = (inter
+           .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")
+           .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sb")), "b")
+           .select("a", "b",
+                   (F.col("inter") /
+                    (F.col("sa") + F.col("sb") - F.col("inter"))).alias("jaccard")))
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def near_duplicates_minhash(docs: DataFrame, k: int = 3, threshold: float = 0.8,
+                            bands: int = DEFAULT_BANDS) -> DataFrame:
+    """LSH candidates verified by exact Jaccard — the full scale pipeline."""
+    cand = lsh_candidate_pairs(minhash_signatures(docs, k), bands)
+    return jaccard_pairs(docs, k, threshold, candidates=cand)
+
+
+def simhash(docs: DataFrame, k: int = 1) -> DataFrame:
+    """(doc_id, simhash): 32-bit majority fingerprint over shingle hashes.
+
+    Bit b is 1 iff more shingle hashes have bit b set than unset; computed
+    by exploding bit positions (32 rows per shingle — JVM-side sequence,
+    one aggregation)."""
+    hs = shingle_hashes(shingles(docs, k))
+    bits = (hs.select("doc_id", F.col("h"),
+                      F.explode(F.expr("sequence(0, 31)")).alias("b"))
+            .select("doc_id", "b",
+                    F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")
+                    .alias("s")))
+    votes = bits.groupBy("doc_id", "b").agg(F.sum("s").alias("v"))
+    return (votes.groupBy("doc_id")
+            .agg(F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END"))
+                 .alias("simhash")))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            k: int = 1) -> DataFrame:
+    """(a, b, hamming) pairs with Hamming distance ≤ ``max_hamming``.
+
+    Candidate generation blocks on 4 byte-bands of the fingerprint (two
+    near-dups within distance 3 must agree on ≥1 of 4 bands)."""
+    sig = simhash(docs, k).cache()
+    bands = None
+    for i in range(4):
+        p = sig.select("doc_id", F.lit(i).alias("band"),
+                       F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255)).alias("key"))
+        bands = p if bands is None else bands.unionByName(p)
+    cand = (bands.select("band", "key", F.col("doc_id").alias("a"))
+            .join(bands.select("band", "key", F.col("doc_id").alias("b")), ["band", "key"])
+            .filter(F.col("a") < F.col("b")).select("a", "b").distinct())
+    pairs = (cand
+             .join(sig.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha")), "a")
+             .join(sig.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb")), "b")
+             .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))))
+    return (pairs.filter(F.col("hamming") <= max_hamming)
+            .select("a", "b", "hamming"))

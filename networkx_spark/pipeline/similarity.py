@@ -1,0 +1,158 @@
+"""Similarity search over an embedding column (``array<float>``).
+
+Three tiers:
+
+* :func:`cosine_topk` — brute-force DataFrame expression (zip_with dot
+  product), exact, SQL-twinned for the oracle.  O(N·Q); the baseline.
+* :func:`cosine_topk_numpy` — same answer via ``mapInPandas``: each Arrow
+  batch becomes one numpy matrix multiplied against the broadcast query
+  block.  This is the single-node-fast path and the per-partition kernel
+  the IVF/LSH tiers reuse.
+* :func:`lsh_topk` — random-hyperplane bucketing: probes only buckets whose
+  sign-sketch matches the query's, turning O(N·Q) into O(N·Q/2^bits) at
+  recall < 1.  The scale path for 10⁹+ vectors.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+HYPERPLANE_SEED = 42
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_pairs(emb: DataFrame, queries: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, vec_id, cosine) for every (query, vector) pair — exact,
+    all-JVM.  ``queries`` is expected to be small (it is broadcast)."""
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    return (e.crossJoin(F.broadcast(q))
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id",
+                    (_dot(F.col("v"), F.col("qv"))
+                     / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cosine")))
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k neighbours per query; deterministic tie-break by vec_id."""
+    pairs = cosine_pairs(emb, queries, id_col, vec_col)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk"))
+
+
+def cosine_topk_numpy(emb: DataFrame, queries: DataFrame, k: int = 5,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Same result as :func:`cosine_topk` via per-partition numpy matmul:
+    partial top-k inside each Arrow batch, global top-k by one tiny window.
+    The shuffled data is k rows per (partition, query) — not N·Q."""
+    spark = emb.sparkSession
+    qrows = queries.select(F.col(id_col).alias("qid"),
+                           F.col(vec_col).alias("qv")).collect()
+    qids = np.array([r["qid"] for r in qrows])
+    qmat = np.array([np.asarray(r["qv"], dtype=np.float64) for r in qrows])
+    qnorm = np.linalg.norm(qmat, axis=1)
+    bq = spark.sparkContext.broadcast((qids, qmat, qnorm))
+
+    def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qids, qmat, qnorm = bq.value
+        for pdf in it:
+            ids = pdf[id_col].to_numpy()
+            m = np.vstack(pdf[vec_col].to_numpy())
+            sims = (m @ qmat.T) / (np.linalg.norm(m, axis=1)[:, None] * qnorm[None, :])
+            out = []
+            for j, qid in enumerate(qids):
+                col = sims[:, j].copy()
+                col[ids == qid] = -np.inf
+                top = min(k, len(ids))
+                idx = np.argpartition(-col, top - 1)[:top]
+                out.append(pd.DataFrame({
+                    "query_id": qid, "vec_id": ids[idx], "cosine": col[idx]}))
+            yield pd.concat(out) if out else pd.DataFrame(
+                columns=["query_id", "vec_id", "cosine"])
+
+    partial = emb.select(id_col, vec_col).mapInPandas(
+        part, schema="query_id long, vec_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (partial.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk"))
+
+
+def hyperplane_sketch(emb: DataFrame, bits: int = 8, dim: int | None = None,
+                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, bucket): sign sketch against ``bits`` fixed random
+    hyperplanes (seeded, deterministic)."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.default_rng(HYPERPLANE_SEED)
+    planes = rng.standard_normal((bits, dim))
+    bucket = F.lit(0).cast("long")
+    v = F.col(vec_col).cast("array<double>")
+    for b in range(bits):
+        plane = F.array(*[F.lit(float(x)) for x in planes[b]])
+        bucket = bucket + F.when(_dot(v, plane) > 0,
+                                 F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return emb.select(F.col(id_col).alias("vec_id"), bucket.alias("bucket"))
+
+
+def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: exact cosine, but only within the query's
+    hyperplane bucket — the bucketing prunes the candidate set ~2^bits×."""
+    sk = hyperplane_sketch(emb, bits, id_col=id_col, vec_col=vec_col)
+    e = (emb.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+         .join(sk, "vec_id"))
+    qsk = hyperplane_sketch(queries, bits, id_col=id_col, vec_col=vec_col)
+    q = (queries.select(F.col(id_col).alias("query_id"),
+                        F.col(vec_col).cast("array<double>").alias("qv"))
+         .join(qsk.withColumnRenamed("vec_id", "query_id"), "query_id"))
+    pairs = (e.join(F.broadcast(q), "bucket")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id",
+                     (_dot(F.col("v"), F.col("qv"))
+                      / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk"))
+
+
+def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
+                              bits: int = 8, id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """(a, b, cosine) pairs above ``threshold`` — embedding-cosine near-dup
+    detection, bucketed by hyperplane sketch (near-identical vectors land in
+    the same bucket with high probability)."""
+    sk = hyperplane_sketch(emb, bits, id_col=id_col, vec_col=vec_col)
+    e = (emb.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+         .join(sk, "vec_id"))
+    pairs = (e.select("bucket", F.col("vec_id").alias("a"), F.col("v").alias("va"))
+             .join(e.select("bucket", F.col("vec_id").alias("b"), F.col("v").alias("vb")),
+                   "bucket")
+             .filter(F.col("a") < F.col("b"))
+             .select("a", "b",
+                     (_dot(F.col("va"), F.col("vb"))
+                      / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine")))
+    return pairs.filter(F.col("cosine") >= threshold)

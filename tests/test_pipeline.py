@@ -1,0 +1,163 @@
+"""Training-data pipeline ops: dedup, text analysis, similarity, multimodal."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from networkx_spark.pipeline.dedup import (exact_duplicates, jaccard_pairs,
+                                           lsh_candidate_pairs, minhash_signatures,
+                                           near_duplicates_minhash, shingles,
+                                           simhash, simhash_near_duplicates)
+from networkx_spark.pipeline.similarity import (cosine_topk, cosine_topk_numpy,
+                                                embedding_near_duplicates, lsh_topk)
+from networkx_spark.pipeline.text import (bpe_ish_token_count, fingerprint,
+                                          language_id, quality_scores, token_count)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "the quick brown fox jumps over the lazy dog", "en"),      # exact dup of 1
+        (3, "the quick brown fox leaps over the lazy dog", "en"),      # near dup of 1
+        (4, "der schnelle braune fuchs springt und das ist gut", "de"),
+        (5, "completely different text about graph engines and spark", "en"),
+        (6, "  The   Quick  Brown Fox jumps over the lazy dog ", "en"),  # ws/case dup of 1
+        (7, "", "und"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    d = {r.doc_id: r.canonical_id for r in exact_duplicates(docs).collect()}
+    assert d[1] == 1 and d[2] == 1 and d[6] == 1      # normalized-exact group
+    assert d[3] == 3 and d[4] == 4 and d[5] == 5 and d[7] == 7
+
+
+def test_shingles_and_jaccard(spark, docs):
+    sh = shingles(docs.filter("doc_id = 1"), k=3)
+    assert sh.count() == 7  # 9 tokens → 7 trigrams
+    pairs = {(r.a, r.b): r.jaccard for r in
+             jaccard_pairs(docs.filter("doc_id in (1,2,3,5)"), k=3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0.2 < pairs[(1, 3)] < 0.8
+    assert (1, 5) not in pairs  # no shared trigram
+
+
+def test_minhash_lsh_pipeline(spark, docs):
+    sig = minhash_signatures(docs.filter("doc_id < 7"), k=2)
+    assert sig.count() == 6 and len([c for c in sig.columns if c.startswith("mh_")]) == 8
+    # identical docs → identical signatures
+    s = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8)) for r in sig.collect()}
+    assert s[1] == s[2] == s[6]
+    cand = {(r.a, r.b) for r in lsh_candidate_pairs(sig).collect()}
+    assert (1, 2) in cand and (1, 6) in cand
+    nd = {(r.a, r.b): r.jaccard for r in
+          near_duplicates_minhash(docs.filter("doc_id < 7"), k=2, threshold=0.5).collect()}
+    assert nd[(1, 2)] == 1.0
+    assert all(j >= 0.5 for j in nd.values())
+
+
+def test_simhash(spark, docs):
+    sh = {r.doc_id: r.simhash for r in simhash(docs.filter("doc_id < 7")).collect()}
+    assert sh[1] == sh[2] == sh[6]
+    assert 0 <= sh[1] < (1 << 32)
+    nd = {(r.a, r.b): r.hamming for r in
+          simhash_near_duplicates(docs.filter("doc_id < 7"), max_hamming=0).collect()}
+    assert nd[(1, 2)] == 0 and nd[(1, 6)] == 0
+
+
+def test_token_counts_and_quality(spark, docs):
+    tc = {r.doc_id: r.n_tokens for r in token_count(docs).collect()}
+    assert tc[1] == 9 and tc[7] == 0 and tc[6] == 9
+    bp = {r.doc_id: r.n_subtokens for r in bpe_ish_token_count(docs).collect()}
+    assert bp[1] >= 9
+    q = {r.doc_id: r for r in quality_scores(docs).collect()}
+    assert q[7].quality == 0.0
+    assert q[1].quality > 0.3
+    assert 0 <= q[1].alpha_ratio <= 1 and 0 <= q[1].stopword_ratio <= 1
+
+
+def test_language_id(spark, docs):
+    lid = {r.doc_id: r.lang_pred for r in language_id(docs).collect()}
+    assert lid[1] == "en" and lid[4] == "de" and lid[7] == "und"
+
+
+def test_fingerprint_normalization(spark, docs):
+    fp = {r.doc_id: r.fp for r in fingerprint(docs).collect()}
+    assert fp[1] == fp[2] == fp[6]
+    assert fp[1] != fp[3]
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(42)
+    base = rng.standard_normal((30, 8))
+    base[7] = base[3] * 1.001 + 1e-4            # near-dup pair (3, 7)
+    rows = [(i, base[i].astype(float).tolist(), i % 3) for i in range(30)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int").cache()
+
+
+def _np_topk(embed_rows, qids, k):
+    ids = np.array([r[0] for r in embed_rows])
+    m = np.array([r[1] for r in embed_rows])
+    out = {}
+    for qid in qids:
+        qv = m[ids == qid][0]
+        sims = (m @ qv) / (np.linalg.norm(m, axis=1) * np.linalg.norm(qv))
+        sims[ids == qid] = -np.inf
+        order = np.lexsort((ids, -sims))[:k]
+        out[qid] = [(int(ids[i]), round(float(sims[i]), 6)) for i in order]
+    return out
+
+
+def test_cosine_topk_exact_and_numpy_agree(spark, emb):
+    rows = [(r.vec_id, np.array(r.embedding)) for r in emb.collect()]
+    queries = emb.filter("vec_id < 3")
+    want = _np_topk(rows, [0, 1, 2], 5)
+    for fn in (cosine_topk, cosine_topk_numpy):
+        got = {}
+        for r in fn(emb, queries, k=5).collect():
+            got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+        for qid in want:
+            got_ids = [v for v, _ in sorted(got[qid], key=lambda t: -t[1])]
+            want_ids = [v for v, _ in want[qid]]
+            assert got_ids == want_ids, (fn.__name__, qid)
+            for (gv, gc), (wv, wc) in zip(sorted(got[qid], key=lambda t: -t[1]), want[qid]):
+                assert gc == pytest.approx(wc, abs=1e-5)
+
+
+def test_lsh_topk_finds_near_duplicate(spark, emb):
+    got = lsh_topk(emb, emb.filter("vec_id = 3"), k=3, bits=6).collect()
+    assert any(r.vec_id == 7 and r.cosine > 0.999 for r in got)
+
+
+def test_embedding_near_duplicates(spark, emb):
+    nd = {(r.a, r.b): r.cosine for r in
+          embedding_near_duplicates(emb, threshold=0.99, bits=6).collect()}
+    assert (3, 7) in nd and nd[(3, 7)] > 0.999
+
+
+def test_multimodal_plumbing(spark):
+    from networkx_spark.pipeline.multimodal import (decode_features, resize_images,
+                                                    sample_frames, synthesize_media)
+    media = synthesize_media(spark, 8, kind="image").cache()
+    assert media.count() == 8
+    with pytest.raises(NotImplementedError):
+        decode_features(media, decoder="stub").collect()
+    feats = decode_features(media, decoder="fake", feature_dim=16)
+    rows = feats.collect()
+    assert len(rows) == 8 and all(len(r.features) == 16 for r in rows)
+    # determinism across partitioning
+    again = decode_features(media.repartition(3), decoder="fake", feature_dim=16)
+    a = {r.media_id: tuple(r.features) for r in rows}
+    b = {r.media_id: tuple(r.features) for r in again.collect()}
+    assert a == b
+    rs = resize_images(media, 8, 8).collect()
+    assert all(len(r.pixels) == 64 for r in rs)
+    vids = synthesize_media(spark, 4, kind="video")
+    fr = sample_frames(vids, every_ms=1000)
+    counts = {r[0]: r[1] for r in fr.groupBy("media_id").count().collect()}
+    meta = {r.media_id: r.meta.duration_ms for r in vids.collect()}
+    for mid, c in counts.items():
+        assert c == meta[mid] // 1000
