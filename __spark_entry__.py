@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship PageRank on the graph derived from the
+sf0.001 tables.  ``queries()``/``oracle_sql()`` — one entry per implemented
+operator (SURVEY.md §2); definitions live in
+``networkx_spark/entry_queries.py`` so they are importable and tested
+locally against DuckDB (``tests/test_entry_oracle.py``) the same way the
+driver compares them.
 """
 
 from __future__ import annotations
@@ -12,27 +13,30 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: converged PageRank (alpha=0.85, tol=1e-6) over the edge
+    table derived from /root/testdata/sf0.001, top 20 vertices."""
+    from networkx_spark.algorithms.pagerank import pagerank
+    from networkx_spark.entry_queries import derived_graph
+
+    g = derived_graph(spark, "/root/testdata/sf0.001")
+    ranks = pagerank(g, alpha=0.85, tol=1e-6, max_iter=100)
+    return (ranks.orderBy(F.desc("rank"), F.asc("id")).limit(20)
+            .select("id", F.round("rank", 6).alias("rank")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from networkx_spark.entry_queries import QUERIES, ROWS_ONLY_QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out = {name: fn for name, (fn, _sql) in QUERIES.items()}
+    out.update(ROWS_ONLY_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from networkx_spark.entry_queries import QUERIES
+
+    return {name: sql for name, (_fn, sql) in QUERIES.items()}

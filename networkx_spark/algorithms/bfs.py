@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, ID
+from networkx_spark.superstep import SuperstepRunner
 
 
 def bfs_distances(g: Graph, source, max_depth: int = 10_000) -> DataFrame:
@@ -23,20 +24,24 @@ def bfs_distances(g: Graph, source, max_depth: int = 10_000) -> DataFrame:
     adj = g.symmetrized().select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"))
     src_type = g.edges.schema[SRC].dataType.simpleString()
     seed = str(source) if src_type == "string" else source
-    visited = spark.createDataFrame([(seed, 0)], f"id {src_type}, distance int")
-    frontier = visited
-    visited = visited.localCheckpoint(eager=True)
-    for d in range(1, max_depth + 1):
-        nxt = (frontier.join(adj, ID)
-               .select(F.col("nbr").alias(ID)).distinct()
-               .join(visited, ID, "anti")
-               .withColumn("distance", F.lit(d)))
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.count() == 0:
-            return visited
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
-        frontier = nxt
-    return visited
+    runner = SuperstepRunner(None, name="bfs")
+    try:
+        visited = spark.createDataFrame([(seed, 0)], f"id {src_type}, distance int")
+        frontier = visited
+        visited = runner.cut(visited)
+        for d in range(1, max_depth + 1):
+            nxt = (frontier.join(adj, ID)
+                   .select(F.col("nbr").alias(ID)).distinct()
+                   .join(visited, ID, "anti")
+                   .withColumn("distance", F.lit(d)))
+            nxt = runner.cut(nxt)
+            if nxt.count() == 0:
+                return visited
+            visited = runner.cut(visited.unionByName(nxt))
+            frontier = nxt
+        return visited
+    finally:
+        runner.close()
 
 
 def descendants(g: Graph, source) -> DataFrame:

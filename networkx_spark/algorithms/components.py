@@ -47,7 +47,7 @@ def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
         step, saved = runner.latest(spark)
         if saved is not None:
             labels, start = saved.select(ID, "component"), step + 1
-    labels = labels.localCheckpoint(eager=True)
+    labels = runner.cut(labels)
     try:
         for it in range(start, start + max_iter):
             # min over own label and every neighbor's label

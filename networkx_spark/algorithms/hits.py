@@ -52,7 +52,7 @@ def hits(g: Graph, max_iter: int = 100, tol: float = 1.0e-8,
         s = sum(v for _, v in rows)
         h = (vertices.join(m, ID, "left")
              .select(ID, (F.coalesce("hub", F.lit(0.0)) / F.lit(s)).alias("hub")))
-    h = h.localCheckpoint(eager=True)
+    h = runner.cut(h)
     try:
         for it in range(max_iter):
             a = (h.join(adj, h[ID] == adj[SRC])

@@ -16,22 +16,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, ID
+from networkx_spark.superstep import SuperstepRunner
 
 
-def _peel(edges: DataFrame, k: int, max_rounds: int = 10_000) -> DataFrame:
+def _peel(e: DataFrame, k: int, runner: SuperstepRunner,
+          n_edges: int, max_rounds: int = 10_000) -> tuple[DataFrame, int]:
     """Edges of the k-core: drop vertices with (total) degree < k to a
     fixpoint.  Each round is one degree aggregation + two semi-joins."""
-    e = edges.localCheckpoint(eager=True)
     for _ in range(max_rounds):
         deg = (e.select(F.col(SRC).alias(ID)).union(e.select(F.col(DST).alias(ID)))
                .groupBy(ID).agg(F.count("*").alias("deg")))
         keep = deg.filter(F.col("deg") >= k).select(ID)
         e2 = (e.join(keep.withColumnRenamed(ID, SRC), SRC, "semi")
               .join(keep.withColumnRenamed(ID, DST), DST, "semi"))
-        e2 = e2.localCheckpoint(eager=True)
-        if e2.count() == e.count():
-            return e2
-        e = e2
+        e2 = runner.cut(e2)
+        n2 = e2.count()
+        if n2 == n_edges:
+            return e2, n2
+        e, n_edges = e2, n2
     raise RuntimeError("k-core peeling did not converge")
 
 
@@ -40,25 +42,32 @@ def k_core(g: Graph, k: int) -> Graph:
     if g.selfloops().limit(1).count() > 0:
         raise ValueError("k-core is not defined for graphs with self-loops "
                          "(reference raises NetworkXNotImplemented)")
-    e = _peel(g.edges, k)
-    return Graph(e, directed=g.directed)
+    runner = SuperstepRunner(None, name="kcore", keep_scratch=0)
+    try:
+        e, _ = _peel(g.edges, k, runner, g.edges.count())
+        return Graph(e, directed=g.directed)
+    finally:
+        runner.close()
 
 
 def core_number(g: Graph, max_k: int = 10_000) -> DataFrame:
     """(id, core) for every vertex (isolated vertices → 0)."""
     if g.selfloops().limit(1).count() > 0:
         raise ValueError("core_number is not defined for graphs with self-loops")
-    spark = g.edges.sparkSession
-    result = g.vertices().select(ID, F.lit(0).alias("core"))
-    e = g.edges
-    for k in range(1, max_k + 1):
-        e = _peel(e, k)
-        if e.count() == 0:
-            break
-        members = (e.select(F.col(SRC).alias(ID))
-                   .union(e.select(F.col(DST).alias(ID))).distinct()
-                   .withColumn("_k", F.lit(k)))
-        result = (result.join(members, ID, "left")
-                  .select(ID, F.coalesce("_k", "core").alias("core"))
-                  .localCheckpoint(eager=True))
-    return result
+    runner = SuperstepRunner(None, name="core_number", keep_scratch=0)
+    try:
+        result = runner.cut(g.vertices().select(ID, F.lit(0).alias("core")))
+        e, n = g.edges, g.edges.count()
+        for k in range(1, max_k + 1):
+            e, n = _peel(e, k, runner, n)
+            if n == 0:
+                break
+            members = (e.select(F.col(SRC).alias(ID))
+                       .union(e.select(F.col(DST).alias(ID))).distinct()
+                       .withColumn("_k", F.lit(k)))
+            result = runner.cut(
+                result.join(members, ID, "left")
+                .select(ID, F.coalesce("_k", "core").alias("core")))
+        return result
+    finally:
+        runner.close()

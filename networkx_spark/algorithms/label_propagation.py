@@ -43,47 +43,57 @@ from networkx_spark.superstep import SuperstepRunner
 def greedy_color(g: Graph, max_rounds: int = 500) -> DataFrame:
     """(id, color) — proper coloring (no edge joins two same-colored
     vertices).  Distributed analogue of ``nx.coloring.greedy_color``
-    (``greedy_coloring.py:265``, strategy ``largest_first`` ``:23-30``)."""
+    (``greedy_coloring.py:265``, strategy ``largest_first`` ``:23-30``).
+
+    Per-round state is cut with a parquet round-trip (see superstep.py for
+    why ``localCheckpoint`` chains are off-limits)."""
+    runner = SuperstepRunner(None, name="coloring")
     adj = (g.symmetrized().filter(F.col(SRC) != F.col(DST))
            .select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"))).cache()
-    deg = adj.groupBy(ID).agg(F.count("*").alias("deg"))
-    prio = (g.vertices().join(deg, ID, "left")
-            .select(ID, F.coalesce("deg", F.lit(0)).alias("deg"),
-                    F.xxhash64(ID).alias("h")))
-    # isolated vertices: color 0 immediately
-    state = prio.select(ID, "deg", "h",
-                        F.when(F.col("deg") == 0, F.lit(0)).otherwise(F.lit(None)).alias("color"))
-    state = state.localCheckpoint(eager=True)
-    for _ in range(max_rounds):
-        remaining = state.filter(F.col("color").isNull()).count()
-        if remaining == 0:
-            break
-        unc = state.filter(F.col("color").isNull())
-        # a vertex wins the round if no uncolored neighbor outranks it
-        nbr_prio = (unc.select(ID, "deg", "h")
-                    .join(adj.select(F.col("nbr").alias(ID), F.col(ID).alias("v")), ID)
-                    .select(F.col("v").alias(ID), F.col("deg").alias("ndeg"), F.col("h").alias("nh")))
-        blocked = (unc.join(nbr_prio, ID)
-                   .filter((F.col("ndeg") > F.col("deg")) |
-                           ((F.col("ndeg") == F.col("deg")) & (F.col("nh") < F.col("h"))))
-                   .select(ID).distinct())
-        winners = unc.join(blocked, ID, "anti")
-        # min color not used by colored neighbors (mex), via array functions
-        nbr_colors = (winners.select(ID)
-                      .join(adj, ID)
-                      .join(state.filter(F.col("color").isNotNull())
-                            .select(F.col(ID).alias("nbr"), F.col("color").alias("nc")), "nbr")
-                      .groupBy(ID).agg(F.array_sort(F.collect_set("nc")).alias("used")))
-        colored = (winners.join(nbr_colors, ID, "left")
-                   .withColumn("used", F.coalesce("used", F.array()))
-                   .withColumn("color", F.expr(
-                       "filter(sequence(0, size(used)), x -> NOT array_contains(used, x))[0]"))
-                   .select(ID, "deg", "h", "color"))
-        state = (state.join(winners.select(ID), ID, "anti")
-                 .unionByName(colored)
-                 ).localCheckpoint(eager=True)
-    adj.unpersist()
-    return state.select(ID, "color")
+    try:
+        deg = adj.groupBy(ID).agg(F.count("*").alias("deg"))
+        prio = (g.vertices().join(deg, ID, "left")
+                .select(ID, F.coalesce("deg", F.lit(0)).alias("deg"),
+                        F.xxhash64(ID).alias("h")))
+        # isolated vertices: color 0 immediately
+        state = prio.select(
+            ID, "deg", "h",
+            F.when(F.col("deg") == 0, F.lit(0)).otherwise(F.lit(None).cast("int"))
+             .alias("color"))
+        state = runner.cut(state)
+        for _ in range(max_rounds):
+            remaining = state.filter(F.col("color").isNull()).count()
+            if remaining == 0:
+                break
+            unc = state.filter(F.col("color").isNull())
+            # a vertex wins the round if no uncolored neighbor outranks it
+            nbr_prio = (unc.select(ID, "deg", "h")
+                        .join(adj.select(F.col("nbr").alias(ID), F.col(ID).alias("v")), ID)
+                        .select(F.col("v").alias(ID), F.col("deg").alias("ndeg"),
+                                F.col("h").alias("nh")))
+            blocked = (unc.join(nbr_prio, ID)
+                       .filter((F.col("ndeg") > F.col("deg")) |
+                               ((F.col("ndeg") == F.col("deg")) & (F.col("nh") < F.col("h"))))
+                       .select(ID).distinct())
+            winners = unc.join(blocked, ID, "anti")
+            # min color not used by colored neighbors (mex), via array functions
+            nbr_colors = (winners.select(ID)
+                          .join(adj, ID)
+                          .join(state.filter(F.col("color").isNotNull())
+                                .select(F.col(ID).alias("nbr"), F.col("color").alias("nc")), "nbr")
+                          .groupBy(ID).agg(F.array_sort(F.collect_set("nc")).alias("used")))
+            colored = (winners.join(nbr_colors, ID, "left")
+                       .withColumn("used", F.coalesce("used", F.array()))
+                       .withColumn("color", F.expr(
+                           "filter(sequence(0, size(used)), x -> NOT array_contains(used, x))[0]"))
+                       .select(ID, "deg", "h", "color"))
+            state = runner.cut(
+                state.join(colored.select(ID, F.col("color").alias("_nc")), ID, "left")
+                .select(ID, "deg", "h", F.coalesce("_nc", "color").alias("color")))
+        return state.select(ID, "color")
+    finally:
+        adj.unpersist()
+        runner.close()
 
 
 def label_propagation_communities(
@@ -116,8 +126,7 @@ def label_propagation_communities(
     colors = greedy_color(g).cache()
     color_list = [r["color"] for r in
                   colors.select("color").distinct().orderBy("color").collect()]
-    labels = g.vertices().select(ID, F.col(ID).alias("label"))
-    labels = labels.localCheckpoint(eager=True)
+    labels = runner.cut(g.vertices().select(ID, F.col(ID).alias("label")))
     step = 0
     try:
         for sweep in range(max_sweeps):

@@ -62,7 +62,7 @@ def pagerank(
     alpha: float = 0.85,
     personalization: Union[dict, DataFrame, None] = None,
     max_iter: int = 100,
-    tol: float = 1.0e-6,
+    tol: float | None = 1.0e-6,
     nstart: Union[dict, DataFrame, None] = None,
     weight: bool = True,
     dangling: Union[dict, DataFrame, None] = None,
@@ -77,7 +77,9 @@ def pagerank(
     ``checkpoint_dir`` enables durable per-superstep snapshots of the rank
     vector with metrics; ``resume=True`` restarts from the newest snapshot
     (superstep counting continues — convergence is a property of the state,
-    not the iteration count).
+    not the iteration count).  ``tol=None`` runs exactly ``max_iter``
+    supersteps with no convergence check and returns (fixed-iteration mode,
+    used by the SQL-oracle comparison).
     """
     spark = g.edges.sparkSession
     vertices = g.vertices().cache()
@@ -146,7 +148,7 @@ def pagerank(
         if saved is not None:
             state, start_step = saved.drop("_prev"), step + 1
     try:
-        state = state.localCheckpoint(eager=True)
+        state = runner.cut(state)
         dmass = (state.agg(F.sum(F.when(F.col("is_dangling"), F.col("rank"))
                                  .otherwise(F.lit(0.0)))).collect()[0][0]) or 0.0
         for it in range(start_step, start_step + max_iter):
@@ -172,8 +174,10 @@ def pagerank(
             err, dmass = (agg["err"] or 0.0), (agg["dmass"] or 0.0)
             runner.update_last(residual=err)
             state = new_state.drop("_prev")
-            if err < n * tol:
+            if tol is not None and err < n * tol:
                 return state.select(ID, "rank")
+        if tol is None:
+            return state.select(ID, "rank")
         raise PowerIterationFailedConvergence(max_iter)
     finally:
         for df in (vertices, norm_edges, dangling_set):

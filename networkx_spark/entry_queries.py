@@ -1,0 +1,543 @@
+"""Driver-contract query registry: Spark implementation + ANSI-SQL oracle
+per operator (see ``__spark_entry__.py``).
+
+Graph queries run on a deterministic edge table derived from ``lineitem``
+(vertex folding by a prime modulus) so the DuckDB oracle can build the
+*identical* graph in pure SQL.  Doubles are rounded to 6 decimals on both
+sides; every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from networkx_spark.graph import Graph
+from networkx_spark.pipeline.dedup import MERSENNE31, MINHASH_AB
+
+MOD = 997          # src vertex-fold modulus for the derived graph
+DST_MOD = 1201     # dst modulus > MOD: ids in [MOD, DST_MOD) are dangling sinks
+PR_ITERS = 10      # unrolled power-iteration supersteps for the PageRank oracle
+ALPHA = 0.85
+
+
+# --------------------------------------------------------------------- helpers
+def _t(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(_t(sf_dir, name))
+
+
+def derived_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed derived graph: (l_orderkey % MOD) → (l_partkey % MOD)."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.select((F.col("l_orderkey") % MOD).alias("src"),
+                      (F.col("l_partkey") % DST_MOD).alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct())
+
+
+EDGES_SQL = f"""
+SELECT DISTINCT l_orderkey % {MOD} AS src, l_partkey % {DST_MOD} AS dst
+FROM lineitem WHERE l_orderkey % {MOD} <> l_partkey % {DST_MOD}
+"""
+
+UEDGES_SQL = f"""
+SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+FROM ({EDGES_SQL})
+"""
+
+VERTS_SQL = f"SELECT src AS id FROM ({EDGES_SQL}) UNION SELECT dst FROM ({EDGES_SQL})"
+
+
+def derived_graph(spark: SparkSession, sf_dir: str, directed: bool = True) -> Graph:
+    return Graph.from_edges(derived_edges(spark, sf_dir), directed=directed)
+
+
+# ---------------------------------------------------------------- graph: scans
+def q_out_degree(spark, sf_dir):
+    return derived_graph(spark, sf_dir).out_degrees().withColumnRenamed("degree", "out_degree")
+
+
+SQL_OUT_DEGREE = f"""
+WITH e AS ({EDGES_SQL}), v AS ({VERTS_SQL}),
+d AS (SELECT src AS id, count(*) AS c FROM e GROUP BY src)
+SELECT v.id, COALESCE(d.c, 0) AS out_degree FROM v LEFT JOIN d USING (id)
+"""
+
+
+def q_in_degree(spark, sf_dir):
+    return derived_graph(spark, sf_dir).in_degrees().withColumnRenamed("degree", "in_degree")
+
+
+SQL_IN_DEGREE = f"""
+WITH e AS ({EDGES_SQL}), v AS ({VERTS_SQL}),
+d AS (SELECT dst AS id, count(*) AS c FROM e GROUP BY dst)
+SELECT v.id, COALESCE(d.c, 0) AS in_degree FROM v LEFT JOIN d USING (id)
+"""
+
+
+def q_degree_histogram(spark, sf_dir):
+    g = derived_graph(spark, sf_dir)
+    return (g.degrees().groupBy("degree").agg(F.count("*").alias("n_vertices")))
+
+
+SQL_DEGREE_HISTOGRAM = f"""
+WITH e AS ({EDGES_SQL}),
+ends AS (SELECT src AS id FROM e UNION ALL SELECT dst FROM e),
+d AS (SELECT id, count(*) AS degree FROM ends GROUP BY id)
+SELECT degree, count(*) AS n_vertices FROM d GROUP BY degree
+"""
+
+
+def q_dangling_vertices(spark, sf_dir):
+    g = derived_graph(spark, sf_dir)
+    srcs = g.edges.select(F.col("src").alias("id")).distinct()
+    return g.vertices().join(srcs, "id", "anti").select("id")
+
+
+SQL_DANGLING = f"""
+WITH e AS ({EDGES_SQL}), v AS ({VERTS_SQL})
+SELECT id FROM v WHERE id NOT IN (SELECT src FROM e)
+"""
+
+
+def q_top_in_degree(spark, sf_dir):
+    deg = q_in_degree(spark, sf_dir)
+    w = Window.orderBy(F.desc("in_degree"), F.asc("id"))
+    return (deg.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10).select("id", "in_degree", "rk"))
+
+
+SQL_TOP_IN_DEGREE = f"""
+WITH d AS ({SQL_IN_DEGREE})
+SELECT id, in_degree,
+       row_number() OVER (ORDER BY in_degree DESC, id ASC) AS rk
+FROM d ORDER BY rk LIMIT 10
+"""
+
+
+def q_edge_intersection(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    e2 = (li.select((F.col("l_orderkey") % MOD).alias("src"),
+                    ((F.col("l_suppkey") * 97) % MOD).alias("dst"))
+          .filter(F.col("src") != F.col("dst")).distinct())
+    a = Graph.from_edges(derived_edges(spark, sf_dir))
+    b = Graph.from_edges(e2)
+    from networkx_spark.operators.setops import intersection
+    return intersection(a, b).edges.select("src", "dst")
+
+
+SQL_EDGE_INTERSECTION = f"""
+WITH e1 AS ({EDGES_SQL}),
+e2 AS (SELECT DISTINCT l_orderkey % {MOD} AS src, (l_suppkey * 97) % {MOD} AS dst
+       FROM lineitem WHERE l_orderkey % {MOD} <> (l_suppkey * 97) % {MOD})
+SELECT e1.src, e1.dst FROM e1 JOIN e2 USING (src, dst)
+"""
+
+
+# ------------------------------------------------------------ graph: pagerank
+def q_pagerank(spark, sf_dir):
+    from networkx_spark.algorithms.pagerank import pagerank
+    g = derived_graph(spark, sf_dir)
+    r = pagerank(g, alpha=ALPHA, max_iter=PR_ITERS, tol=None)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_sql() -> str:
+    # AS MATERIALIZED is load-bearing: inlined CTEs would re-expand the
+    # whole superstep chain per reference (exponential in PR_ITERS)
+    parts = [f"e AS MATERIALIZED ({EDGES_SQL})",
+             f"v AS MATERIALIZED ({VERTS_SQL})",
+             "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v)",
+             "outdeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src)",
+             "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)"]
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"dm{i} AS MATERIALIZED (SELECT COALESCE(sum(rank), 0) AS dm FROM r{p} "
+            f"WHERE id NOT IN (SELECT src FROM outdeg))")
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / o.d) AS contrib "
+            f"FROM r{p} r JOIN e ON r.id = e.src JOIN outdeg o ON o.src = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, {ALPHA} * (COALESCE(c.contrib, 0) "
+            f"+ (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) "
+            f"+ {1 - ALPHA} / (SELECT n FROM nn) AS rank "
+            f"FROM v LEFT JOIN c{i} c ON v.id = c.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(rank, 6) AS rank FROM r{PR_ITERS}")
+
+
+SQL_PAGERANK = _pagerank_sql()
+
+
+# ------------------------------------------------- graph: connected components
+def q_connected_components(spark, sf_dir):
+    from networkx_spark.algorithms.components import connected_components
+    g = derived_graph(spark, sf_dir, directed=False)
+    return connected_components(g)
+
+
+SQL_CONNECTED_COMPONENTS = f"""
+WITH RECURSIVE u AS ({UEDGES_SQL}),
+sym AS (SELECT src, dst FROM u UNION ALL SELECT dst, src FROM u),
+v AS ({VERTS_SQL}),
+reach(id, r) AS (
+    SELECT id, id FROM v
+    UNION
+    SELECT b.dst, reach.r FROM reach JOIN sym b ON b.src = reach.id
+)
+SELECT id, min(r) AS component FROM reach GROUP BY id
+"""
+
+
+# ------------------------------------------------------------ graph: triangles
+def q_triangles(spark, sf_dir):
+    from networkx_spark.algorithms.triangles import triangles
+    g = derived_graph(spark, sf_dir, directed=False)
+    return triangles(g)
+
+
+SQL_TRIANGLES = f"""
+WITH u AS ({UEDGES_SQL}), v AS ({VERTS_SQL}),
+tri AS (
+    SELECT a.src AS x, a.dst AS y, b.dst AS z
+    FROM u a JOIN u b ON a.src = b.src AND a.dst < b.dst
+    JOIN u c ON c.src = a.dst AND c.dst = b.dst
+),
+corners AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri),
+cnt AS (SELECT id, count(*) AS t FROM corners GROUP BY id)
+SELECT v.id, COALESCE(cnt.t, 0) AS triangles FROM v LEFT JOIN cnt USING (id)
+"""
+
+
+def q_transitivity(spark, sf_dir):
+    from networkx_spark.algorithms.triangles import transitivity
+    g = derived_graph(spark, sf_dir, directed=False)
+    val = transitivity(g)
+    return spark.createDataFrame([(round(val, 6),)], "transitivity double")
+
+
+SQL_TRANSITIVITY = f"""
+WITH u AS ({UEDGES_SQL}), v AS ({VERTS_SQL}),
+tri AS (
+    SELECT count(*) AS nt FROM u a
+    JOIN u b ON a.src = b.src AND a.dst < b.dst
+    JOIN u c ON c.src = a.dst AND c.dst = b.dst
+),
+deg AS (SELECT id, count(*) AS d FROM
+        (SELECT src AS id FROM u UNION ALL SELECT dst FROM u) GROUP BY id),
+triads AS (SELECT sum(d * (d - 1)) AS c FROM deg)
+SELECT CASE WHEN (SELECT nt FROM tri) = 0 THEN 0.0
+       ELSE round(6.0 * (SELECT nt FROM tri) / (SELECT c FROM triads), 6) END
+       AS transitivity
+"""
+
+
+# --------------------------------------------------------------- documents ops
+def q_dedup_exact(spark, sf_dir):
+    from networkx_spark.pipeline.dedup import exact_duplicates
+    return exact_duplicates(load(spark, sf_dir, "documents")).select("doc_id", "canonical_id")
+
+
+SQL_DEDUP_EXACT = r"""
+WITH h AS (SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS ch
+           FROM documents),
+c AS (SELECT ch, min(doc_id) AS canonical_id FROM h GROUP BY ch)
+SELECT h.doc_id, c.canonical_id FROM h JOIN c USING (ch)
+"""
+
+
+def q_token_count(spark, sf_dir):
+    from networkx_spark.pipeline.text import token_count
+    return token_count(load(spark, sf_dir, "documents"))
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id, CASE WHEN trim(text) = '' THEN 0
+       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    from networkx_spark.pipeline.text import fingerprint
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from networkx_spark.pipeline.dedup import minhash_signatures
+    return minhash_signatures(load(spark, sf_dir, "documents"), k=3)
+
+
+def _shingle_sql(k: int = 3) -> str:
+    """(doc_id, shingle) distinct word k-grams in DuckDB SQL."""
+    return rf"""
+toks AS (SELECT doc_id,
+         regexp_split_to_array(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS t
+         FROM documents WHERE trim(text) <> ''),
+sh AS (SELECT DISTINCT doc_id,
+       array_to_string(t[i + 1 : i + {k}], ' ') AS shingle
+       FROM (SELECT doc_id, t,
+             unnest(range(0, greatest(len(t) - {k} + 1, 0))) AS i FROM toks))
+"""
+
+
+def _minhash_sql(k: int = 3) -> str:
+    hm = f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE31})"
+    aggs = ", ".join(
+        f"min(({a} * {hm} + {b}) % {MERSENNE31}) AS mh_{i}"
+        for i, (a, b) in enumerate(MINHASH_AB))
+    return f"WITH {_shingle_sql(k)} SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+
+
+SQL_MINHASH = _minhash_sql()
+
+
+def q_simhash(spark, sf_dir):
+    from networkx_spark.pipeline.dedup import simhash
+    return simhash(load(spark, sf_dir, "documents"), k=1)
+
+
+SQL_SIMHASH = rf"""
+WITH {_shingle_sql(1)},
+hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+bits AS (SELECT doc_id, i AS b,
+         CASE WHEN ((h >> i::INT) & 1) = 1 THEN 1 ELSE -1 END AS s
+         FROM hs, range(0, 32) AS r(i)),
+votes AS (SELECT doc_id, b, sum(s) AS v FROM bits GROUP BY doc_id, b)
+SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+def q_jaccard_pairs(spark, sf_dir):
+    from networkx_spark.pipeline.dedup import jaccard_pairs
+    return (jaccard_pairs(load(spark, sf_dir, "documents"), k=3, threshold=0.4)
+            .select("a", "b", F.round("jaccard", 6).alias("jaccard")))
+
+
+SQL_JACCARD = rf"""
+WITH {_shingle_sql(3)},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS i
+          FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id)
+SELECT a, b, round(i::DOUBLE / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.4
+"""
+
+
+def q_language_id(spark, sf_dir):
+    from networkx_spark.pipeline.text import language_id
+    return language_id(load(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
+
+
+def _langid_sql() -> str:
+    from networkx_spark.pipeline.text import LANG_STOPWORDS
+    hits = {l: rf"len(regexp_extract_all(lower(text), '\b({'|'.join(w)})\b'))"
+            for l, w in LANG_STOPWORDS.items()}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    whens = " ".join(
+        f"WHEN {hits[l]} = best THEN '{l}'" for l in sorted(LANG_STOPWORDS))
+    return (f"WITH s AS (SELECT doc_id, text, {best} AS best FROM documents) "
+            f"SELECT doc_id, CASE WHEN best = 0 THEN 'und' {whens} END AS lang_pred FROM s")
+
+
+SQL_LANGUAGE_ID = _langid_sql()
+
+
+# --------------------------------------------------------------- embeddings
+def q_cosine_topk(spark, sf_dir):
+    from networkx_spark.pipeline.similarity import cosine_topk
+    emb = load(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter("vec_id < 5"), k=5)
+
+
+SQL_COSINE_TOPK = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
+pairs AS (
+    SELECT q.query_id, e.vec_id,
+           list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+    FROM e, q WHERE e.vec_id <> q.query_id),
+rk AS (SELECT query_id, vec_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk
+       FROM pairs)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rk FROM rk WHERE rk <= 5
+"""
+
+
+def q_embedding_pairs(spark, sf_dir):
+    """Brute-force high-cosine pairs (threshold keeps output small)."""
+    from networkx_spark.pipeline.similarity import _dot, _norm
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+    left = e.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    right = e.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    return (left.crossJoin(right).filter(F.col("a") < F.col("b"))
+            .select("a", "b", (_dot(F.col("va"), F.col("vb"))
+                               / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cos"))
+            .filter(F.col("cos") >= 0.35)
+            .select("a", "b", F.round("cos", 6).alias("cosine")))
+
+
+SQL_EMBEDDING_PAIRS = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+           / (sqrt(list_sum(list_transform(a.v, x -> x * x)))
+              * sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+    FROM e a JOIN e b ON a.vec_id < b.vec_id)
+SELECT a, b, round(cos, 6) AS cosine FROM pairs WHERE cos >= 0.35
+"""
+
+
+# ------------------------------------------------------------------ relational
+def q_event_window_counts(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"), F.round(F.sum("value"), 6).alias("total"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n", "total"))
+
+
+SQL_EVENT_WINDOW = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 6) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_lineitem_agg(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+                 F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 6)
+                 .alias("revenue"),
+                 F.count("*").alias("n_rows")))
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       count(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_top_customers(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    agg = o.groupBy("o_custkey").agg(F.round(F.sum("o_totalprice"), 6).alias("spend"))
+    w = Window.orderBy(F.desc("spend"), F.asc("o_custkey"))
+    return (agg.join(F.broadcast(c), agg.o_custkey == c.c_custkey)
+            .select("o_custkey", "c_name", "spend")
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10))
+
+
+SQL_TOP_CUSTOMERS = """
+WITH agg AS (SELECT o_custkey, round(sum(o_totalprice), 6) AS spend
+             FROM orders GROUP BY o_custkey)
+SELECT o_custkey, c_name, spend,
+       row_number() OVER (ORDER BY spend DESC, o_custkey ASC) AS rk
+FROM agg JOIN customer ON o_custkey = c_custkey
+ORDER BY rk LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------- registry
+QUERIES = {
+    # graph operators (derived lineitem graph)
+    "out_degree": (q_out_degree, SQL_OUT_DEGREE),
+    "in_degree": (q_in_degree, SQL_IN_DEGREE),
+    "degree_histogram": (q_degree_histogram, SQL_DEGREE_HISTOGRAM),
+    "dangling_vertices": (q_dangling_vertices, SQL_DANGLING),
+    "top_in_degree": (q_top_in_degree, SQL_TOP_IN_DEGREE),
+    "edge_intersection": (q_edge_intersection, SQL_EDGE_INTERSECTION),
+    "pagerank_fixed10": (q_pagerank, SQL_PAGERANK),
+    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "triangle_counts": (q_triangles, SQL_TRIANGLES),
+    "transitivity": (q_transitivity, SQL_TRANSITIVITY),
+    # documents pipeline
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD),
+    "language_id": (q_language_id, SQL_LANGUAGE_ID),
+    # embeddings
+    "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
+    # relational / windows
+    "event_window_counts": (q_event_window_counts, SQL_EVENT_WINDOW),
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
+}
+
+# non-SQL-expressible operators: rows-only driver check (iterative /
+# coloring / LSH-bucketing randomness is engine-internal)
+ROWS_ONLY_QUERIES = {}
+
+
+def _web_graph(spark, n=400, directed=True):
+    # the dense derived lineitem graph makes coloring/peeling loops take
+    # hundreds of supersteps; the sparse synthetic web graph is the
+    # representative input for these operators
+    from networkx_spark.generators import web_edges
+    return Graph.from_edges(web_edges(spark, n, seed=42, as_urls=False),
+                            directed=directed)
+
+
+def _q_lpa(spark, sf_dir):
+    from networkx_spark.algorithms.label_propagation import label_propagation_communities
+    return label_propagation_communities(_web_graph(spark, directed=False))
+
+
+def _q_kcore(spark, sf_dir):
+    from networkx_spark.algorithms.kcore import core_number
+    return core_number(_web_graph(spark, directed=False).remove_selfloops())
+
+
+def _q_hits(spark, sf_dir):
+    from networkx_spark.algorithms.hits import hits
+    return hits(_web_graph(spark), tol=1e-3)
+
+
+def _q_lsh_candidates(spark, sf_dir):
+    from networkx_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+    return lsh_candidate_pairs(minhash_signatures(load(spark, sf_dir, "documents"), k=3))
+
+
+def _q_web_extraction(spark, sf_dir):
+    from networkx_spark.extract import edges_from_pages
+    from networkx_spark.generators import synthesize_pages
+    return edges_from_pages(synthesize_pages(spark, 500, seed=42))
+
+
+ROWS_ONLY_QUERIES.update({
+    "label_propagation": _q_lpa,
+    "core_number": _q_kcore,
+    "hits": _q_hits,
+    "lsh_candidates": _q_lsh_candidates,
+    "web_extraction": _q_web_extraction,
+})

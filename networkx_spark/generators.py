@@ -35,17 +35,19 @@ ZIPF_A = 2.0
 
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — the per-(seed,id,slot) hash."""
-    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
 
 
 def _h(seed: int, ids: np.ndarray, slot: int) -> np.ndarray:
-    mix = (ids.astype(np.uint64) * np.uint64(0x100000001B3)
-           ^ np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
-           ^ (np.uint64(slot) << np.uint64(32)))
-    return _splitmix64(mix)
+    with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+        mix = (ids.astype(np.uint64) * np.uint64(0x100000001B3)
+               ^ np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+               ^ (np.uint64(slot) << np.uint64(32)))
+        return _splitmix64(mix)
 
 
 def _u01(h: np.ndarray) -> np.ndarray:
@@ -77,7 +79,8 @@ def _out_targets(ids: np.ndarray, n: int, seed: int) -> tuple[np.ndarray, np.nda
         return src, src
     # slot index within each page's link list
     k = np.arange(len(src)) - np.repeat(np.cumsum(deg) - deg, deg)
-    r = _h(seed, src * np.int64(1_000_003) + k, 2)
+    with np.errstate(over="ignore"):
+        r = _h(seed, src * np.int64(1_000_003) + k, 2)
     mode = _u01(r)
     r2 = _splitmix64(r)
     hot = (r2 % np.uint64(N_HOT)).astype(np.int64)

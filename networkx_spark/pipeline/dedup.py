@@ -61,8 +61,12 @@ def shingles(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(_norm_text(F.col(text_col)), " ").alias("_t"))
-    expr = (f"transform(sequence(0, greatest(size(_t) - {k}, -1)), "
-            f"i -> array_join(slice(_t, i + 1, {k}), ' '))")
+    # guard: sequence(0, -1) would DESCEND in Spark, so short docs (< k
+    # tokens) must map to an empty array explicitly
+    expr = (f"CASE WHEN size(_t) >= {k} THEN "
+            f"transform(sequence(0, size(_t) - {k}), "
+            f"i -> array_join(slice(_t, i + 1, {k}), ' ')) "
+            f"ELSE array() END")
     return (toks.select("doc_id", F.explode(F.expr(expr)).alias("shingle"))
             .distinct())
 

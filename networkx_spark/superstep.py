@@ -5,26 +5,36 @@ The reference runs iterations as an in-process Python loop
 provides:
 
 * **plan cutting** — each superstep's DataFrame references the previous
-  one; 100 supersteps of uncut lineage blow up the optimizer.  We cut via
-  ``localCheckpoint`` (fast, in-memory) or a parquet round-trip (durable).
+  one; without truncation the optimizer re-analyzes an ever-deeper plan.
+  The primitive here is a **parquet round-trip**: write the state, read it
+  back as a fresh ``LogicalRelation``.  ``DataFrame.localCheckpoint`` is
+  deliberately NOT used: its ``LogicalRDD`` preserves the origin plan's
+  statistics/constraints, and chaining checkpoints across supersteps makes
+  Catalyst's stats estimation blow up super-linearly after ~10 iterations
+  (measured: 1s → 130s per superstep; driver pegged in
+  ``SizeInBytesOnlyStatsPlanVisitor`` / ``BigInteger.multiply``).
 * **durable vertex-state snapshots** — the north rule requires per-superstep
   checkpoints with lineage + metrics so an algorithm is resumable after
-  executor loss.  ``mode='parquet'`` writes
-  ``<dir>/<name>/step=NNNNN/`` plus a ``metrics.jsonl`` line per superstep
-  (rows, bytes, partition skew factor, residual, elapsed).
+  executor loss.  With a ``checkpoint_dir`` the cadence-selected supersteps
+  land in ``<dir>/<name>/step=NNNNN/`` plus a ``metrics.jsonl`` line per
+  superstep (rows, bytes, partition skew factor, residual, elapsed);
+  off-cadence supersteps go to a scratch dir that is rotated away.
 * **resume** — ``latest()`` finds the newest complete snapshot so a caller
   can restart mid-algorithm.
 
-Production target is an Iceberg table per state (snapshot per superstep);
-this sandbox has no Iceberg jars, so the durable path is partitioned parquet
-with identical semantics (append-only snapshot dirs + commit marker).
+Production target is an Iceberg table per state (snapshot per superstep,
+retention-managed); this sandbox has no Iceberg jars, so the durable path
+is partitioned parquet with identical semantics (append-only snapshot dirs
++ ``_SUCCESS`` commit marker).
 """
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import shutil
+import tempfile
 import time
 from typing import Optional
 
@@ -37,30 +47,62 @@ class SuperstepRunner:
 
     Parameters
     ----------
-    checkpoint_dir : None → in-memory ``localCheckpoint`` only (bench mode).
-    interval : checkpoint every N supersteps (1 = the north-rule default:
-        every superstep durable).
+    checkpoint_dir : None → scratch-only (bench mode; snapshots rotated).
+    interval : durable checkpoint every N supersteps (1 = the north-rule
+        default: every superstep durable).
+    keep_scratch : how many scratch snapshots to retain before rotating
+        (older ones may still back in-flight DataFrames; 4 is safe for
+        loops that reference at most the previous two states; 0 disables
+        rotation for loops holding long-lived references).
     collect_partition_metrics : also record per-partition row counts and the
         skew factor (max/mean); one extra cheap job per checkpoint.
     """
 
     def __init__(self, checkpoint_dir: Optional[str] = None, name: str = "state",
-                 interval: int = 1, collect_partition_metrics: bool = False):
+                 interval: int = 1, collect_partition_metrics: bool = False,
+                 keep_scratch: int = 4):
+        self.name = name
         self.dir = os.path.join(checkpoint_dir, name) if checkpoint_dir else None
         self.interval = max(1, interval)
         self.collect_partition_metrics = collect_partition_metrics
+        self.keep_scratch = keep_scratch
         self.metrics: list[dict] = []
         self._flushed = 0
-        self._persisted: list[DataFrame] = []
+        self._scratch: Optional[str] = None
+        self._scratch_count = 0
         if self.dir:
             os.makedirs(self.dir, exist_ok=True)
 
-    # ----------------------------------------------------------------- state
+    # ----------------------------------------------------------------- paths
     def _step_path(self, step: int) -> str:
         return os.path.join(self.dir, f"step={step:05d}")
 
+    def _scratch_dir(self) -> str:
+        if self._scratch is None:
+            self._scratch = tempfile.mkdtemp(prefix=f"nxs_{self.name}_")
+            # returned DataFrames keep reading the final snapshot after the
+            # runner is closed, so scratch lives until process exit
+            atexit.register(shutil.rmtree, self._scratch, ignore_errors=True)
+        return self._scratch
+
+    # ------------------------------------------------------------------- cut
+    def cut(self, df: DataFrame) -> DataFrame:
+        """Materialize ``df`` and truncate its lineage (parquet round-trip
+        into the scratch dir, rotating old snapshots)."""
+        self._scratch_count += 1
+        path = os.path.join(self._scratch_dir(), f"ck{self._scratch_count:06d}")
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        if self.keep_scratch > 0:
+            old = self._scratch_count - self.keep_scratch
+            if old > 0:
+                shutil.rmtree(os.path.join(self._scratch_dir(), f"ck{old:06d}"),
+                              ignore_errors=True)
+        return out
+
+    # ----------------------------------------------------------------- state
     def latest(self, spark) -> tuple[int, Optional[DataFrame]]:
-        """Newest complete snapshot (committed marker present), for resume."""
+        """Newest complete durable snapshot (commit marker present)."""
         if not self.dir or not os.path.isdir(self.dir):
             return -1, None
         steps = sorted(
@@ -77,11 +119,10 @@ class SuperstepRunner:
                    rows: int | None = None) -> DataFrame:
         """Cut lineage; durably snapshot on the cadence; record metrics.
 
-        Returns the (possibly re-read) DataFrame to carry into the next
-        superstep.  Pass ``rows`` when the caller already knows the state
-        cardinality (vertex state is constant-size) to skip a count job —
-        job-launch latency, not data volume, dominates superstep cost on
-        small inputs.
+        Returns the re-read DataFrame to carry into the next superstep.
+        Pass ``rows`` when the caller already knows the state cardinality
+        (vertex state is constant-size) to skip a count job — job-launch
+        latency, not data volume, dominates superstep cost on small inputs.
         """
         t0 = time.time()
         durable = self.dir is not None and (force or step % self.interval == 0)
@@ -91,14 +132,13 @@ class SuperstepRunner:
                 shutil.rmtree(path)
             df.write.mode("overwrite").parquet(path)
             out = df.sparkSession.read.parquet(path)
-            rows = out.count() if rows is None else rows
             nbytes = sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(path) for f in fs)
         else:
-            out = df.localCheckpoint(eager=True)
-            rows = out.count() if rows is None else rows
+            out = self.cut(df)
             nbytes = None
+        rows = out.count() if rows is None else rows
         m = {
             "superstep": step,
             "rows": rows,
@@ -117,14 +157,6 @@ class SuperstepRunner:
                 m["skew_factor"] = round(float(per_part["mx"]) / float(per_part["avg"]), 3)
         self._flush()          # previous superstep's line is final by now
         self.metrics.append(m)
-        self._persisted.append(out)
-        # free the superstep before last — its lineage is already cut
-        if len(self._persisted) > 2:
-            old = self._persisted.pop(0)
-            try:
-                old.unpersist()
-            except Exception:
-                pass
         return out
 
     def update_last(self, **kw):
@@ -143,10 +175,8 @@ class SuperstepRunner:
         self._flushed = len(self.metrics)
 
     def close(self):
+        """Flush metrics.  Scratch snapshots are NOT removed here — the
+        DataFrame returned to the caller is backed by the newest one; the
+        atexit hook reclaims them at process end (an Iceberg deployment
+        would use snapshot retention instead)."""
         self._flush()
-        for df in self._persisted:
-            try:
-                df.unpersist()
-            except Exception:
-                pass
-        self._persisted.clear()
