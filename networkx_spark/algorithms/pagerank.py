@@ -100,7 +100,10 @@ def pagerank(
     non_dangling = out_w.filter(F.col("_S") != 0).select(F.col(SRC).alias(ID))
     dangling_set = vertices.join(non_dangling, ID, "anti").cache()
 
-    # personalization p (``:475-481``)
+    # personalization p (``:475-481``); the common web case (no
+    # personalization, no custom dangling weights) keeps p and dw as
+    # literal 1/N instead of per-vertex columns — halves state I/O
+    uniform = personalization is None and dangling is None
     if personalization is None:
         p = vertices.withColumn("p", F.lit(1.0 / n))
     else:
@@ -120,9 +123,18 @@ def pagerank(
             raise ZeroDivisionError("dangling vector sums to zero")
         dw = dw.withColumn("dw", F.col("dw") / F.lit(s))
 
-    statics = (p.join(dw, ID)
-               .join(dangling_set.withColumn("_d", F.lit(True)), ID, "left")
-               .select(ID, "p", "dw", F.coalesce("_d", F.lit(False)).alias("is_dangling")))
+    flag = dangling_set.withColumn("_d", F.lit(True))
+    if uniform:
+        statics = (vertices.join(flag, ID, "left")
+                   .select(ID, F.coalesce("_d", F.lit(False)).alias("is_dangling")))
+        static_cols = ["is_dangling"]
+        p_col, dw_col = F.lit(1.0 / n), F.lit(1.0 / n)
+    else:
+        statics = (p.join(dw, ID)
+                   .join(flag, ID, "left")
+                   .select(ID, "p", "dw", F.coalesce("_d", F.lit(False)).alias("is_dangling")))
+        static_cols = ["p", "dw", "is_dangling"]
+        p_col, dw_col = F.col("p"), F.col("dw")
 
     # x0 (``:468-472``)
     if nstart is None:
@@ -136,7 +148,7 @@ def pagerank(
 
     # the state carries the static per-vertex columns so each superstep is a
     # single join against the contributions — no repeated statics join
-    state = statics.join(x0, ID).select(ID, "rank", "p", "dw", "is_dangling")
+    state = statics.join(x0, ID).select(ID, "rank", *static_cols)
 
     own_runner = runner is None
     if own_runner:
@@ -160,9 +172,9 @@ def pagerank(
                          .join(contrib, ID, "left")
                          .select(ID,
                                  (F.lit(alpha) * (F.coalesce("_c", F.lit(0.0))
-                                                  + F.lit(dmass) * F.col("dw"))
-                                  + F.lit(1.0 - alpha) * F.col("p")).alias("rank"),
-                                 "p", "dw", "is_dangling", "_prev"))
+                                                  + F.lit(dmass) * dw_col)
+                                  + F.lit(1.0 - alpha) * p_col).alias("rank"),
+                                 *static_cols, "_prev"))
             new_state = runner.checkpoint(
                 new_state, it, rows=n,
                 extra={"dangling_mass": dmass, "algorithm": "pagerank"})
