@@ -18,9 +18,14 @@ from networkx_spark.graph import Graph
 from networkx_spark.session import get_spark
 
 from networkx_spark.algorithms.pagerank import pagerank, PowerIterationFailedConvergence
-from networkx_spark.algorithms.components import connected_components, number_connected_components
+from networkx_spark.algorithms.pagerank_blocked import pagerank_blocked
+from networkx_spark.algorithms.components import (
+    connected_components, number_connected_components, weakly_connected_components)
 from networkx_spark.algorithms.triangles import triangles, clustering, transitivity, average_clustering
-from networkx_spark.algorithms.label_propagation import label_propagation_communities
+from networkx_spark.algorithms.label_propagation import greedy_color, label_propagation_communities
+from networkx_spark.algorithms.hits import hits
+from networkx_spark.algorithms.kcore import core_number, k_core
+from networkx_spark.algorithms.bfs import bfs_distances, descendants
 
 __version__ = "0.1.0"
 
@@ -28,13 +33,21 @@ __all__ = [
     "Graph",
     "get_spark",
     "pagerank",
+    "pagerank_blocked",
     "PowerIterationFailedConvergence",
     "connected_components",
+    "weakly_connected_components",
     "number_connected_components",
     "triangles",
     "clustering",
     "transitivity",
     "average_clustering",
     "label_propagation_communities",
+    "greedy_color",
+    "hits",
+    "core_number",
+    "k_core",
+    "bfs_distances",
+    "descendants",
     "__version__",
 ]

@@ -177,6 +177,15 @@ def _pagerank_sql() -> str:
 SQL_PAGERANK = _pagerank_sql()
 
 
+def q_pagerank_blocked(spark, sf_dir):
+    """Same fixed-superstep PageRank through the blocked-CSR kernel — the
+    SQL oracle is identical to the row kernel's (numerics match)."""
+    from networkx_spark.algorithms.pagerank_blocked import pagerank_blocked
+    g = derived_graph(spark, sf_dir)
+    r = pagerank_blocked(g, alpha=ALPHA, max_iter=PR_ITERS, tol=None)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
 # ------------------------------------------------- graph: connected components
 def q_connected_components(spark, sf_dir):
     from networkx_spark.algorithms.components import connected_components
@@ -474,6 +483,7 @@ QUERIES = {
     "top_in_degree": (q_top_in_degree, SQL_TOP_IN_DEGREE),
     "edge_intersection": (q_edge_intersection, SQL_EDGE_INTERSECTION),
     "pagerank_fixed10": (q_pagerank, SQL_PAGERANK),
+    "pagerank_blocked10": (q_pagerank_blocked, SQL_PAGERANK),
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "triangle_counts": (q_triangles, SQL_TRIANGLES),
     "transitivity": (q_transitivity, SQL_TRANSITIVITY),

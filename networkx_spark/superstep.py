@@ -79,7 +79,11 @@ class SuperstepRunner:
 
     def _scratch_dir(self) -> str:
         if self._scratch is None:
-            self._scratch = tempfile.mkdtemp(prefix=f"nxs_{self.name}_")
+            # prefer tmpfs for non-durable cuts: the lineage cut needs the
+            # round-trip, not the disk (cluster analogue: executor-local
+            # NVMe/ram scratch); durable snapshots still go to checkpoint_dir
+            base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+            self._scratch = tempfile.mkdtemp(prefix=f"nxs_{self.name}_", dir=base)
             # returned DataFrames keep reading the final snapshot after the
             # runner is closed, so scratch lives until process exit
             atexit.register(shutil.rmtree, self._scratch, ignore_errors=True)
