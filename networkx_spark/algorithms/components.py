@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, ID
-from networkx_spark.superstep import SuperstepRunner
+from networkx_spark.superstep import SuperstepRunner, fixed_plan
 
 
 def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
@@ -37,9 +37,12 @@ def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
               resume: bool) -> DataFrame:
     spark = vertices.sparkSession
     runner = SuperstepRunner(checkpoint_dir, name="cc_state", interval=checkpoint_interval)
-    # neighbor pairs both ways so min flows in both directions
+    # neighbor pairs both ways so min flows in both directions; cached
+    # pre-partitioned on the join key so supersteps shuffle only labels
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     nbrs = (adj.select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"))
             .union(adj.select(F.col(DST).alias(ID), F.col(SRC).alias("nbr")))
+            .repartition(n_part, ID)
             ).cache()
     labels = vertices.select(ID, F.col(ID).alias("component"))
     start = 0
@@ -49,6 +52,7 @@ def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
             labels, start = saved.select(ID, "component"), step + 1
     labels = runner.cut(labels)
     try:
+      with fixed_plan(spark):
         for it in range(start, start + max_iter):
             # min over own label and every neighbor's label
             nbr_min = (labels.join(nbrs, ID)

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, WEIGHT, ID
 from networkx_spark.algorithms.pagerank import PowerIterationFailedConvergence
-from networkx_spark.superstep import SuperstepRunner
+from networkx_spark.superstep import SuperstepRunner, fixed_plan
 
 
 def hits(g: Graph, max_iter: int = 100, tol: float = 1.0e-8,
@@ -54,6 +54,7 @@ def hits(g: Graph, max_iter: int = 100, tol: float = 1.0e-8,
              .select(ID, (F.coalesce("hub", F.lit(0.0)) / F.lit(s)).alias("hub")))
     h = runner.cut(h)
     try:
+      with fixed_plan(spark):
         for it in range(max_iter):
             a = (h.join(adj, h[ID] == adj[SRC])
                  .groupBy(F.col(DST).alias(ID))

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, ID
-from networkx_spark.superstep import SuperstepRunner
+from networkx_spark.superstep import SuperstepRunner, fixed_plan
 
 
 def greedy_color(g: Graph, max_rounds: int = 500) -> DataFrame:
@@ -51,6 +51,7 @@ def greedy_color(g: Graph, max_rounds: int = 500) -> DataFrame:
     adj = (g.symmetrized().filter(F.col(SRC) != F.col(DST))
            .select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"))).cache()
     try:
+      with fixed_plan(g.edges.sparkSession):
         deg = adj.groupBy(ID).agg(F.count("*").alias("deg"))
         prio = (g.vertices().join(deg, ID, "left")
                 .select(ID, F.coalesce("deg", F.lit(0)).alias("deg"),
@@ -129,6 +130,7 @@ def label_propagation_communities(
     labels = runner.cut(g.vertices().select(ID, F.col(ID).alias("label")))
     step = 0
     try:
+      with fixed_plan(spark):
         for sweep in range(max_sweeps):
             for c in color_list:
                 members = colors.filter(F.col("color") == c).select(ID)

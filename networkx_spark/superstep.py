@@ -42,6 +42,26 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def fixed_plan(spark):
+    """Disable AQE for the duration of a superstep loop.
+
+    AQE re-plans every stage of every superstep of a fixed-shape query —
+    measured ~2× per-superstep overhead and high variance on the PageRank
+    scatter join.  The loop's shapes are known (sizes change only in
+    value), so static planning wins; restored afterwards for ad-hoc
+    queries."""
+    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
+
+
 class SuperstepRunner:
     """Checkpoint/metrics/resume driver for one algorithm run.
 
