@@ -328,7 +328,8 @@ bits AS (SELECT doc_id, i AS b,
          CASE WHEN ((h >> i::INT) & 1) = 1 THEN 1 ELSE -1 END AS s
          FROM hs, range(0, 32) AS r(i)),
 votes AS (SELECT doc_id, b, sum(s) AS v FROM bits GROUP BY doc_id, b)
-SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END) AS simhash
+SELECT doc_id,
+       sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
 FROM votes GROUP BY doc_id
 """
 

@@ -54,9 +54,10 @@ def compose(a: Graph, b: Graph) -> Graph:
 
 
 def intersection(a: Graph, b: Graph) -> Graph:
-    """Edges in both (weights from a); vertex set = union of endpoints, as
-    the reference keeps G's nodes (``binary.py:129`` requires equal node
-    sets; we take the union, a superset behaviour tests pin down)."""
+    """Edges in both (weights from a); vertex set = intersection of the two
+    vertex sets (``binary.py:129`` requires *equal* node sets and keeps
+    them; with unequal inputs we keep the shared vertices, the behaviour
+    the tests pin down)."""
     _check(a, b)
     e = a.edges.join(b.edges.select(SRC, DST), [SRC, DST], "semi")
     v = a.vertices().join(b.vertices(), ID, "inner").select(ID)

@@ -58,9 +58,14 @@ def shingles(docs: DataFrame, k: int = 3, id_col: str = "doc_id",
     """(doc_id, shingle) — distinct word k-grams of the normalized text.
     Built with JVM-side array functions (no Python in the hot path):
     split → sliding window via transform over index sequence."""
+    # empty/whitespace-only docs are excluded (Spark's split('', ' ') yields
+    # [''], which would fabricate a "" shingle; the SQL oracle filters
+    # ``trim(text) <> ''`` — keep both sides identical)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.split(_norm_text(F.col(text_col)), " ").alias("_t"))
+        _norm_text(F.col(text_col)).alias("_n")).filter(
+        F.col("_n") != "").select(
+        "doc_id", F.split(F.col("_n"), " ").alias("_t"))
     # guard: sequence(0, -1) would DESCEND in Spark, so short docs (< k
     # tokens) must map to an empty array explicitly
     expr = (f"CASE WHEN size(_t) >= {k} THEN "
@@ -113,16 +118,39 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame
 
 
 def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.0,
-                  candidates: DataFrame | None = None) -> DataFrame:
-    """(a, b, jaccard): exact word-k-gram Jaccard for all pairs sharing ≥1
-    shingle (or only ``candidates`` when given — the LSH scale path)."""
+                  candidates: DataFrame | None = None,
+                  max_shingle_df: int | None = None) -> DataFrame:
+    """(a, b, jaccard): exact word-k-gram Jaccard.
+
+    * ``candidates`` given (the LSH scale path): intersections are computed
+      **candidate-first** — ``cand ⋈ shingles(a) ⋈ shingles(b) ON (b,
+      shingle)`` — so cost is O(Σ candidate-pair shingles), never the
+      all-pairs shingle self-join.  A corpus-wide common shingle cannot
+      cause quadratic fan-out here.
+    * no candidates (small corpora / standalone use): the shingle
+      equijoin, which IS quadratic in per-shingle document frequency.
+      ``max_shingle_df`` caps it by dropping shingles shared by more than
+      that many documents from the *pairing* step (union sizes still count
+      them, so reported Jaccard is a lower bound for affected pairs); the
+      default ``None`` keeps exact semantics for oracle comparison.
+    """
     sh = shingles(docs, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    inter = (sh.select(F.col("doc_id").alias("a"), "shingle")
-             .join(sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
-             .filter(F.col("a") < F.col("b")))
     if candidates is not None:
-        inter = inter.join(candidates, ["a", "b"], "semi")
+        cand = candidates.select("a", "b")
+        inter = (cand
+                 .join(sh.select(F.col("doc_id").alias("a"), "shingle"), "a")
+                 .join(sh.select(F.col("doc_id").alias("b"), "shingle"),
+                       ["b", "shingle"]))
+    else:
+        pair_sh = sh
+        if max_shingle_df is not None:
+            hot = (sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+                   .filter(F.col("_df") > max_shingle_df).select("shingle"))
+            pair_sh = sh.join(hot, "shingle", "anti")
+        inter = (pair_sh.select(F.col("doc_id").alias("a"), "shingle")
+                 .join(pair_sh.select(F.col("doc_id").alias("b"), "shingle"), "shingle")
+                 .filter(F.col("a") < F.col("b")))
     inter = inter.groupBy("a", "b").agg(F.count("*").alias("inter"))
     out = (inter
            .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sa")), "a")

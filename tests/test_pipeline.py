@@ -45,26 +45,50 @@ def test_shingles_and_jaccard(spark, docs):
 
 
 def test_minhash_lsh_pipeline(spark, docs):
-    sig = minhash_signatures(docs.filter("doc_id < 7"), k=2)
+    # the empty doc 7 stays in the input: shingles() must drop it (a "" doc
+    # has no k-grams), matching the SQL oracle's trim(text) <> '' filter
+    sig = minhash_signatures(docs, k=2)
     assert sig.count() == 6 and len([c for c in sig.columns if c.startswith("mh_")]) == 8
+    assert sig.filter("doc_id = 7").count() == 0
     # identical docs → identical signatures
     s = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8)) for r in sig.collect()}
     assert s[1] == s[2] == s[6]
     cand = {(r.a, r.b) for r in lsh_candidate_pairs(sig).collect()}
     assert (1, 2) in cand and (1, 6) in cand
     nd = {(r.a, r.b): r.jaccard for r in
-          near_duplicates_minhash(docs.filter("doc_id < 7"), k=2, threshold=0.5).collect()}
+          near_duplicates_minhash(docs, k=2, threshold=0.5).collect()}
     assert nd[(1, 2)] == 1.0
     assert all(j >= 0.5 for j in nd.values())
 
 
 def test_simhash(spark, docs):
-    sh = {r.doc_id: r.simhash for r in simhash(docs.filter("doc_id < 7")).collect()}
+    sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
+    assert 7 not in sh                       # empty doc excluded, like the oracle
     assert sh[1] == sh[2] == sh[6]
     assert 0 <= sh[1] < (1 << 32)
     nd = {(r.a, r.b): r.hamming for r in
-          simhash_near_duplicates(docs.filter("doc_id < 7"), max_hamming=0).collect()}
+          simhash_near_duplicates(docs, max_hamming=0).collect()}
     assert nd[(1, 2)] == 0 and nd[(1, 6)] == 0
+
+
+def test_jaccard_candidate_path_survives_common_shingle(spark):
+    # every doc shares the token "corpuswide": the all-pairs shingle
+    # self-join would fan out quadratically; the candidate-driven path must
+    # return the same values while joining only through candidate pairs
+    rows = [(i, "corpuswide " + " ".join(f"tok{i}_{j}" for j in range(6)))
+            for i in range(20)]
+    rows[1] = (1, rows[0][1])                            # 1 duplicates 0
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r.a, r.b): r.jaccard for r in jaccard_pairs(d, k=1).collect()}
+    cand = spark.createDataFrame([(0, 1), (2, 3)], "a long, b long")
+    got = {(r.a, r.b): r.jaccard for r in
+           jaccard_pairs(d, k=1, candidates=cand).collect()}
+    assert set(got) == {(0, 1), (2, 3)}
+    assert got[(0, 1)] == full[(0, 1)] == 1.0
+    assert got[(2, 3)] == full[(2, 3)]
+    # df cap drops the corpus-wide shingle from pairing in the all-pairs path
+    capped = jaccard_pairs(d, k=1, max_shingle_df=5)
+    assert {(r.a, r.b) for r in capped.collect()} == {(0, 1)}
 
 
 def test_token_counts_and_quality(spark, docs):
