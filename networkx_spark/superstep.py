@@ -54,12 +54,20 @@ def fixed_plan(spark):
     scatter join.  The loop's shapes are known (sizes change only in
     value), so static planning wins; restored afterwards for ad-hoc
     queries."""
-    old = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    settings = {
+        "spark.sql.adaptive.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in settings}
+    for k, v in settings.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.adaptive.enabled", old)
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 class SuperstepRunner:
@@ -116,7 +124,9 @@ class SuperstepRunner:
         self._scratch_count += 1
         path = os.path.join(self._scratch_dir(), f"ck{self._scratch_count:06d}")
         df.write.mode("overwrite").parquet(path)
-        out = df.sparkSession.read.parquet(path)
+        # explicit schema: skips the driver-side footer read on every
+        # superstep (a fixed cost that would not amortize with cores)
+        out = df.sparkSession.read.schema(df.schema).parquet(path)
         if self.keep_scratch > 0:
             old = self._scratch_count - self.keep_scratch
             if old > 0:
@@ -155,7 +165,7 @@ class SuperstepRunner:
             if os.path.exists(path):
                 shutil.rmtree(path)
             df.write.mode("overwrite").parquet(path)
-            out = df.sparkSession.read.parquet(path)
+            out = df.sparkSession.read.schema(df.schema).parquet(path)
             nbytes = sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(path) for f in fs)
