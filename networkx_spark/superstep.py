@@ -70,6 +70,23 @@ def fixed_plan(spark):
                 spark.conf.set(k, v)
 
 
+@contextmanager
+def tuned_partitions(spark, n_rows: int, rows_per_partition: int = 100_000):
+    """Shrink ``spark.sql.shuffle.partitions`` to match a small loop state.
+
+    Iterative algorithms pay per-stage fixed cost × partitions every
+    superstep; on a graph whose state is a few thousand rows, the
+    cluster-sized partition count is pure overhead.  Never *raises* the
+    configured value — at scale this is a no-op."""
+    old = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    target = max(1, min(old, (n_rows + rows_per_partition - 1) // rows_per_partition))
+    spark.conf.set("spark.sql.shuffle.partitions", str(target))
+    try:
+        yield target
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(old))
+
+
 class SuperstepRunner:
     """Checkpoint/metrics/resume driver for one algorithm run.
 

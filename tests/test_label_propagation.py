@@ -90,3 +90,59 @@ def test_greedy_color_path_and_isolates(spark):
     for i in range(10):
         assert colors[str(i)] != colors[str(i + 1)]
     assert max(colors.values()) <= 2
+
+
+# ---------------------------------------------------------- seeded variants
+def test_asyn_lpa_two_cliques(spark):
+    # community/tests/test_asyn_lpa.py: two cliques joined by one edge
+    # separate under asyn LPA
+    from networkx_spark.algorithms.label_propagation import asyn_lpa_communities
+    a = ["a", "b", "c", "d", "e"]
+    b = ["1", "2", "3", "4", "5"]
+    edges = [(u, v) for i, u in enumerate(a) for v in a[i + 1:]]
+    edges += [(u, v) for i, u in enumerate(b) for v in b[i + 1:]]
+    edges += [("a", "1")]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    got = as_partition(asyn_lpa_communities(g, seed=1), "id", "label")
+    assert got in (frozenset([frozenset(a), frozenset(b)]),
+                   frozenset([frozenset(a + b)]))
+
+
+def test_asyn_lpa_seed_deterministic_any_partitioning(spark):
+    from networkx_spark.algorithms.label_propagation import asyn_lpa_communities
+    edges = []
+    for t in range(4):
+        a, b, c = 3 * t, 3 * t + 1, 3 * t + 2
+        edges += [(a, b), (b, c), (a, c)]
+    edges += [(0, 3), (6, 9)]
+    g1 = Graph.from_edge_list(spark, edges, directed=False)
+    g2 = Graph(g1.edges.repartition(7), directed=False)
+    r1 = {r.id: r.label for r in asyn_lpa_communities(g1, seed=7).collect()}
+    r2 = {r.id: r.label for r in asyn_lpa_communities(g2, seed=7).collect()}
+    assert r1 == r2
+
+
+def test_asyn_lpa_weighted_pulls_node_to_heavy_side(spark):
+    from networkx_spark.algorithms.label_propagation import asyn_lpa_communities
+    # m sits between triangle {a,b,c} (heavy edges) and {x,y,z} (light)
+    edges = [("a", "b", 5), ("b", "c", 5), ("a", "c", 5),
+             ("x", "y", 1), ("y", "z", 1), ("x", "z", 1),
+             ("m", "a", 5), ("m", "x", 1)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    got = as_partition(asyn_lpa_communities(g, weight=True, seed=3), "id", "label")
+    heavy = next(c for c in got if "a" in c)
+    assert "m" in heavy
+
+
+def test_fast_lpa_matches_structure(spark):
+    from networkx_spark.algorithms.label_propagation import (
+        fast_label_propagation_communities)
+    edges = []
+    for t in range(5):
+        a, b, c = 3 * t, 3 * t + 1, 3 * t + 2
+        edges += [(a, b), (b, c), (a, c)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    got = as_partition(fast_label_propagation_communities(g, seed=11), "id", "label")
+    want = frozenset(frozenset({str(3 * t), str(3 * t + 1), str(3 * t + 2)})
+                     for t in range(5))
+    assert got == want
