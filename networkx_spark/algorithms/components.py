@@ -34,16 +34,29 @@ from networkx_spark.superstep import SuperstepRunner, fixed_plan
 
 def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
               checkpoint_dir: Optional[str], checkpoint_interval: int,
-              resume: bool) -> DataFrame:
+              resume: bool, salt_threshold: Optional[int] = None,
+              n_salts: int = 16) -> DataFrame:
+    from networkx_spark.partitioning import (SALT, hot_keys, replicate_state,
+                                             salt_rows)
     spark = vertices.sparkSession
     runner = SuperstepRunner(checkpoint_dir, name="cc_state", interval=checkpoint_interval)
     # neighbor pairs both ways so min flows in both directions; cached
     # pre-partitioned on the join key so supersteps shuffle only labels
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     nbrs = (adj.select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"))
-            .union(adj.select(F.col(DST).alias(ID), F.col(SRC).alias("nbr")))
-            .repartition(n_part, ID)
-            ).cache()
+            .union(adj.select(F.col(DST).alias(ID), F.col(SRC).alias("nbr"))))
+    hot = None
+    join_keys = [ID]
+    if salt_threshold is not None:
+        # hot-vertex salting (partitioning.py): spread each hot vertex's
+        # adjacency rows across n_salts partitions; labels of hot vertices
+        # are replicated per salt each superstep
+        hot = hot_keys(nbrs, ID, salt_threshold).cache()
+        nbrs = salt_rows(nbrs, hot, ID, "nbr", n_salts)
+        join_keys = [ID, SALT]
+        nbrs = nbrs.repartition(n_part, ID, SALT).cache()
+    else:
+        nbrs = nbrs.repartition(n_part, ID).cache()
     labels = vertices.select(ID, F.col(ID).alias("component"))
     start = 0
     if resume:
@@ -55,7 +68,9 @@ def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
       with fixed_plan(spark):
         for it in range(start, start + max_iter):
             # min over own label and every neighbor's label
-            nbr_min = (labels.join(nbrs, ID)
+            lab = (replicate_state(labels, hot, ID, n_salts)
+                   if hot is not None else labels)
+            nbr_min = (lab.join(nbrs, join_keys)
                        .groupBy(F.col("nbr").alias(ID))
                        .agg(F.min("component").alias("_nc")))
             new = (labels.join(nbr_min, ID, "left")
@@ -71,36 +86,48 @@ def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
         raise RuntimeError(f"hash-min did not converge in {max_iter} supersteps")
     finally:
         nbrs.unpersist()
+        if hot is not None:
+            hot.unpersist()
         runner.close()
 
 
 def connected_components(g: Graph, max_iter: int = 200,
                          checkpoint_dir: Optional[str] = None,
                          checkpoint_interval: int = 1,
-                         resume: bool = False) -> DataFrame:
+                         resume: bool = False,
+                         salt_threshold: Optional[int] = None,
+                         n_salts: int = 16) -> DataFrame:
     """(id, component) — component = min vertex id of the component.
 
-    Raises on directed input like the reference (``connected.py:15``) and on
-    an empty graph (``NetworkXPointlessConcept`` analogue for
-    ``is_connected``, here only the empty-graph guard of the generator).
+    ``salt_threshold`` enables hot-vertex salting (partitioning.py):
+    vertices with more than that many adjacency rows are spread across
+    ``n_salts`` shuffle partitions — results are identical, only physical
+    placement changes.  Raises on directed input like the reference
+    (``connected.py:15``) and on an empty graph
+    (``NetworkXPointlessConcept`` analogue for ``is_connected``, here only
+    the empty-graph guard of the generator).
     """
     if g.directed:
         raise ValueError("connected_components is not implemented for directed graphs; "
                          "use weakly_connected_components")
     return _hash_min(g.vertices(), g.edges, max_iter,
-                     checkpoint_dir, checkpoint_interval, resume)
+                     checkpoint_dir, checkpoint_interval, resume,
+                     salt_threshold, n_salts)
 
 
 def weakly_connected_components(g: Graph, max_iter: int = 200,
                                 checkpoint_dir: Optional[str] = None,
                                 checkpoint_interval: int = 1,
-                                resume: bool = False) -> DataFrame:
+                                resume: bool = False,
+                                salt_threshold: Optional[int] = None,
+                                n_salts: int = 16) -> DataFrame:
     """Directed graphs: components of the symmetrized graph
     (``weakly_connected.py:14``, BFS over succ+pred ``:163+``)."""
     if not g.directed:
         raise ValueError("use connected_components for undirected graphs")
     return _hash_min(g.vertices(), g.edges, max_iter,
-                     checkpoint_dir, checkpoint_interval, resume)
+                     checkpoint_dir, checkpoint_interval, resume,
+                     salt_threshold, n_salts)
 
 
 def number_connected_components(g: Graph, **kw) -> int:

@@ -70,6 +70,8 @@ def pagerank(
     checkpoint_interval: int = 1,
     resume: bool = False,
     runner: Optional[SuperstepRunner] = None,
+    salt_threshold: Optional[int] = None,
+    n_salts: int = 16,
 ) -> DataFrame:
     """Return a DataFrame ``(id, rank)``; empty graph → empty result
     (reference returns ``{}``, ``pagerank_alg.py:103-105``).
@@ -103,10 +105,22 @@ def pagerank(
     # never the (much larger) edge side — measured ~10% per superstep
     norm_edges = (adj.join(out_w, SRC)
                   .filter(F.col("_S") != 0)
-                  .select(SRC, DST, (F.col(WEIGHT) / F.col("_S")).alias("_w"))
-                  .repartition(n_part, SRC)
-                  .sortWithinPartitions(SRC)
-                  ).cache()
+                  .select(SRC, DST, (F.col(WEIGHT) / F.col("_S")).alias("_w")))
+    hot = None
+    if salt_threshold is not None:
+        # hot-vertex salting (partitioning.py): spread a hot src's edge
+        # rows across n_salts scatter-join partitions; the rank vector's
+        # hot rows are replicated per salt each superstep
+        from networkx_spark.partitioning import SALT, hot_keys, salt_rows
+        hot = (hot_keys(norm_edges, SRC, salt_threshold)
+               .select(F.col(SRC).alias(ID))).cache()
+        norm_edges = (salt_rows(norm_edges, hot.withColumnRenamed(ID, SRC),
+                                SRC, DST, n_salts)
+                      .repartition(n_part, SRC, SALT)
+                      .sortWithinPartitions(SRC)).cache()
+    else:
+        norm_edges = (norm_edges.repartition(n_part, SRC)
+                      .sortWithinPartitions(SRC)).cache()
     non_dangling = out_w.filter(F.col("_S") != 0).select(F.col(SRC).alias(ID))
     dangling_set = vertices.join(non_dangling, ID, "anti").cache()
 
@@ -175,8 +189,15 @@ def pagerank(
         dmass = (state.agg(F.sum(F.when(F.col("is_dangling"), F.col("rank"))
                                  .otherwise(F.lit(0.0)))).collect()[0][0]) or 0.0
         for it in range(start_step, start_step + max_iter):
-            contrib = (state.select(ID, "rank")
-                       .join(norm_edges, state[ID] == norm_edges[SRC])
+            ranks = state.select(ID, "rank")
+            if hot is not None:
+                from networkx_spark.partitioning import SALT, replicate_state
+                ranks = replicate_state(ranks, hot, ID, n_salts)
+                cond = ((ranks[ID] == norm_edges[SRC]) &
+                        (ranks[SALT] == norm_edges[SALT]))
+            else:
+                cond = ranks[ID] == norm_edges[SRC]
+            contrib = (ranks.join(norm_edges, cond)
                        .groupBy(F.col(DST).alias(ID))
                        .agg(F.sum(F.col("rank") * F.col("_w")).alias("_c")))
             new_state = (state.withColumnRenamed("rank", "_prev")
@@ -208,7 +229,8 @@ def pagerank(
             return state.select(ID, "rank")
         raise PowerIterationFailedConvergence(max_iter)
     finally:
-        for df in (vertices, norm_edges, dangling_set):
+        for df in (vertices, norm_edges, dangling_set,
+                   *([hot] if hot is not None else [])):
             try:
                 df.unpersist()
             except Exception:
