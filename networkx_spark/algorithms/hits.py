@@ -27,12 +27,14 @@ from networkx_spark.algorithms.pagerank import PowerIterationFailedConvergence
 from networkx_spark.superstep import SuperstepRunner, fixed_plan
 
 
-def hits(g: Graph, max_iter: int = 100, tol: float = 1.0e-8,
+def hits(g: Graph, max_iter: int = 100, tol: float | None = 1.0e-8,
          nstart=None, normalized: bool = True,
          checkpoint_dir: Optional[str] = None,
          checkpoint_interval: int = 1) -> DataFrame:
     """Returns (id, hub, authority).  Empty graph → empty result
-    (``hits_alg.py:102-103``)."""
+    (``hits_alg.py:102-103``).  ``tol=None`` runs exactly ``max_iter``
+    supersteps with no convergence check (fixed-iteration mode, used by
+    the SQL-oracle comparison — mirrors ``pagerank(tol=None)``)."""
     spark = g.edges.sparkSession
     vertices = g.vertices().cache()
     n = vertices.count()
@@ -76,12 +78,15 @@ def hits(g: Graph, max_iter: int = 100, tol: float = 1.0e-8,
             hmax, amax = (mx["hm"] or 1.0), (mx["am"] or 1.0)
             state = state.select(ID, (F.col("hub") / F.lit(hmax)).alias("hub"),
                                  (F.col("authority") / F.lit(amax)).alias("authority"))
-            err = (state.join(h.select(ID, F.col("hub").alias("_prev")), ID)
-                   .agg(F.sum(F.abs(F.col("hub") - F.col("_prev"))))
-                   .collect()[0][0]) or 0.0
-            runner.update_last(residual=err)
+            if tol is not None:
+                err = (state.join(h.select(ID, F.col("hub").alias("_prev")), ID)
+                       .agg(F.sum(F.abs(F.col("hub") - F.col("_prev"))))
+                       .collect()[0][0]) or 0.0
+                runner.update_last(residual=err)
             h = state.select(ID, "hub")
-            if err < tol:
+            done = (tol is not None and err < tol) or \
+                   (tol is None and it == max_iter - 1)
+            if done:
                 if normalized:
                     sums = state.agg(F.sum("hub"), F.sum("authority")).collect()[0]
                     hs, as_ = sums[0] or 1.0, sums[1] or 1.0

@@ -4,7 +4,15 @@ Reference ``core_number`` (``networkx/algorithms/core.py:46-115``) is the
 sequential Batagelj–Zaveršnik bin sort; the distributed equivalent peels:
 repeatedly delete vertices of degree < k until stable — the k-core.  Core
 numbers come from ascending peels: vertices present in the k-core but not
-the (k+1)-core have core number k.
+the (k+1)-core have core number k.  Two scale tricks keep the job count
+down:
+
+* the edge-count fixpoint test rides the lineage-cut write as an observed
+  metric (no separate count job per round),
+* after each level stabilizes, ``k`` jumps straight to ``min_degree + 1``
+  of the surviving graph — all survivors have core ≥ min_degree, so the
+  in-between levels are no-op peels that would each still cost a full
+  round of jobs (a dense graph's first jump alone skips dozens).
 
 Self-loops are rejected like the reference (``core.py:91-96``); directed
 degree = in+out (``core.py:71-72``).
@@ -12,7 +20,7 @@ degree = in+out (``core.py:71-72``).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, ID
@@ -20,20 +28,28 @@ from networkx_spark.superstep import SuperstepRunner
 
 
 def _peel(e: DataFrame, k: int, runner: SuperstepRunner,
-          n_edges: int, max_rounds: int = 10_000) -> tuple[DataFrame, int]:
+          n_edges: int, max_rounds: int = 10_000
+          ) -> tuple[DataFrame, int, DataFrame | None]:
     """Edges of the k-core: drop vertices with (total) degree < k to a
-    fixpoint.  Each round is one degree aggregation + two semi-joins."""
+    fixpoint.  Each round is one job (degree agg + two semi-joins + cut
+    with an observed edge count).  Returns (edges, n_edges, fixpoint
+    degree table or None when the core is empty)."""
     for _ in range(max_rounds):
         deg = (e.select(F.col(SRC).alias(ID)).union(e.select(F.col(DST).alias(ID)))
                .groupBy(ID).agg(F.count("*").alias("deg")))
         keep = deg.filter(F.col("deg") >= k).select(ID)
+        obs = Observation()
         e2 = (e.join(keep.withColumnRenamed(ID, SRC), SRC, "semi")
-              .join(keep.withColumnRenamed(ID, DST), DST, "semi"))
+              .join(keep.withColumnRenamed(ID, DST), DST, "semi")
+              .observe(obs, F.count(F.lit(1)).alias("m")))
         e2 = runner.cut(e2)
-        n2 = e2.count()
+        n2 = int(obs.get["m"])
         if n2 == n_edges:
-            return e2, n2
+            # fixpoint: `deg` computed from e == e2 is the final degrees
+            return e2, n2, deg
         e, n_edges = e2, n2
+        if n2 == 0:
+            return e2, 0, None
     raise RuntimeError("k-core peeling did not converge")
 
 
@@ -44,7 +60,7 @@ def k_core(g: Graph, k: int) -> Graph:
                          "(reference raises NetworkXNotImplemented)")
     runner = SuperstepRunner(None, name="kcore", keep_scratch=0)
     try:
-        e, _ = _peel(g.edges, k, runner, g.edges.count())
+        e, _, _ = _peel(g.edges, k, runner, g.edges.count())
         return Graph(e, directed=g.directed)
     finally:
         runner.close()
@@ -58,16 +74,21 @@ def core_number(g: Graph, max_k: int = 10_000) -> DataFrame:
     try:
         result = runner.cut(g.vertices().select(ID, F.lit(0).alias("core")))
         e, n = g.edges, g.edges.count()
-        for k in range(1, max_k + 1):
-            e, n = _peel(e, k, runner, n)
+        k = 1
+        while k <= max_k and n > 0:
+            e, n, deg = _peel(e, k, runner, n)
             if n == 0:
                 break
+            # every survivor has degree ≥ min_deg, hence core ≥ min_deg:
+            # record that level and jump the in-between no-op peels
+            min_deg = int(deg.agg(F.min("deg")).collect()[0][0])
             members = (e.select(F.col(SRC).alias(ID))
                        .union(e.select(F.col(DST).alias(ID))).distinct()
-                       .withColumn("_k", F.lit(k)))
+                       .withColumn("_k", F.lit(min_deg)))
             result = runner.cut(
                 result.join(members, ID, "left")
                 .select(ID, F.coalesce("_k", "core").alias("core")))
+            k = min_deg + 1
         return result
     finally:
         runner.close()

@@ -186,6 +186,106 @@ def q_pagerank_blocked(spark, sf_dir):
     return r.select("id", F.round("rank", 6).alias("rank"))
 
 
+# ---------------------------------------------------------------- graph: hits
+HITS_ITERS = 10
+
+
+def q_hits(spark, sf_dir):
+    """Fixed-iteration HITS on the derived graph (``hits_alg.py:99-140``
+    semantics; ``tol=None`` mirrors the oracle's unrolled supersteps)."""
+    from networkx_spark.algorithms.hits import hits
+    g = derived_graph(spark, sf_dir)
+    r = hits(g, max_iter=HITS_ITERS, tol=None, normalized=True)
+    return r.select("id", F.round("hub", 6).alias("hub"),
+                    F.round("authority", 6).alias("authority"))
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """Unrolled a = Aᵀh, h = Aa supersteps with per-iteration 1/max scaling
+    and a final 1/sum normalization — mirrors ``hits_alg.py:112-140``."""
+    parts = [f"e AS MATERIALIZED ({EDGES_SQL})",
+             f"v AS MATERIALIZED ({VERTS_SQL})",
+             "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v)",
+             "h0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS hub FROM v)"]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT e.dst AS id, sum(h.hub) AS a "
+            f"FROM h{p} h JOIN e ON h.id = e.src GROUP BY e.dst)")
+        parts.append(
+            f"af{i} AS MATERIALIZED (SELECT v.id, COALESCE(ar.a, 0) AS a "
+            f"FROM v LEFT JOIN ar{i} ar USING (id))")
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT e.src AS id, sum(af.a) AS hb "
+            f"FROM af{i} af JOIN e ON af.id = e.dst GROUP BY e.src)")
+        parts.append(
+            f"hf{i} AS MATERIALIZED (SELECT v.id, COALESCE(hr.hb, 0) AS hb "
+            f"FROM v LEFT JOIN hr{i} hr USING (id))")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT id, hb / (SELECT max(hb) FROM hf{i}) "
+            f"AS hub FROM hf{i})")
+    # final 1/sum normalization; the last 1/max scaling cancels inside x/sum(x)
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT hf.id, round(hf.hb / (SELECT sum(hb) FROM hf{iters}), 6) AS hub,
+       round(af.a / (SELECT sum(a) FROM af{iters}), 6) AS authority
+FROM hf{iters} hf JOIN af{iters} af USING (id)""")
+
+
+SQL_HITS = _hits_sql()
+
+
+# ---------------------------------------------------------- graph: core number
+KC_MOD = 9973      # sparser vertex fold for the peeling oracle (kmax ~12)
+KC_KMAX = 14       # > measured kmax at sf0.01 (12); extra levels are no-ops
+KC_ROUNDS = 16     # > measured max peel rounds per level (9); extras idempotent
+
+KC_EDGES_SQL = f"""
+SELECT DISTINCT least(l_orderkey % {KC_MOD}, l_partkey % {KC_MOD}) AS src,
+       greatest(l_orderkey % {KC_MOD}, l_partkey % {KC_MOD}) AS dst
+FROM lineitem WHERE l_orderkey % {KC_MOD} <> l_partkey % {KC_MOD}
+"""
+
+
+def q_core_number(spark, sf_dir):
+    from networkx_spark.algorithms.kcore import core_number
+    li = load(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_orderkey") % KC_MOD).alias("src"),
+                   (F.col("l_partkey") % KC_MOD).alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+    g = Graph.from_edges(e, directed=False)
+    return core_number(g).select("id", F.col("core").cast("long").alias("core"))
+
+
+def _core_number_sql() -> str:
+    """Unrolled ascending peels: level k starts from the (k-1)-core and
+    deletes degree<k vertices for KC_ROUNDS rounds (extra rounds are no-ops
+    once stable); core(id) = max surviving level."""
+    parts = [f"e0 AS MATERIALIZED ({KC_EDGES_SQL})",
+             "vv AS MATERIALIZED (SELECT src AS id FROM e0 UNION SELECT dst FROM e0)"]
+    finals = []
+    prev = "e0"
+    for k in range(1, KC_KMAX + 1):
+        for r in range(KC_ROUNDS):
+            cur = f"e{k}_{r}"
+            parts.append(
+                f"{cur} AS MATERIALIZED (WITH d AS (SELECT id, count(*) AS deg FROM "
+                f"(SELECT src AS id FROM {prev} UNION ALL SELECT dst FROM {prev}) "
+                f"GROUP BY id), keep AS (SELECT id FROM d WHERE deg >= {k}) "
+                f"SELECT src, dst FROM {prev} "
+                f"WHERE src IN (SELECT id FROM keep) AND dst IN (SELECT id FROM keep))")
+            prev = cur
+        finals.append((k, prev))
+    mem = " UNION ALL ".join(
+        f"SELECT id, {k} AS k FROM (SELECT src AS id FROM {tbl} UNION SELECT dst FROM {tbl})"
+        for k, tbl in finals)
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT vv.id, COALESCE(mx.k, 0)::BIGINT AS core FROM vv "
+            f"LEFT JOIN (SELECT id, max(k) AS k FROM ({mem}) GROUP BY id) mx USING (id)")
+
+
+SQL_CORE_NUMBER = _core_number_sql()
+
+
 # ------------------------------------------------- graph: connected components
 def q_connected_components(spark, sf_dir):
     from networkx_spark.algorithms.components import connected_components
@@ -352,6 +452,30 @@ WHERE i::DOUBLE / (sa.sz + sb.sz - i) >= 0.4
 """
 
 
+def q_lsh_candidates(spark, sf_dir):
+    from networkx_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
+    return lsh_candidate_pairs(minhash_signatures(load(spark, sf_dir, "documents"), k=3))
+
+
+def _lsh_sql(k: int = 3, bands: int = 4) -> str:
+    """SQL twin of ``lsh_candidate_pairs``: same signatures, same band-key
+    concatenation, same a<b distinct pair join."""
+    nh = len(MINHASH_AB)
+    rpb = nh // bands
+    band_selects = []
+    for b in range(bands):
+        cols = [f"mh_{b * rpb + r}" for r in range(rpb)]
+        key = " || '_' || ".join(f"{c}::VARCHAR" for c in cols)
+        band_selects.append(f"SELECT doc_id, {b} AS band, {key} AS key FROM sig")
+    return (f"WITH sig AS MATERIALIZED ({_minhash_sql(k)}),\n"
+            f"bk AS ({' UNION ALL '.join(band_selects)})\n"
+            "SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM bk x JOIN bk y "
+            "ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id")
+
+
+SQL_LSH_CANDIDATES = _lsh_sql()
+
+
 def q_language_id(spark, sf_dir):
     from networkx_spark.pipeline.text import language_id
     return language_id(load(spark, sf_dir, "documents")).select("doc_id", "lang_pred")
@@ -474,6 +598,22 @@ ORDER BY rk LIMIT 10
 """
 
 
+# ------------------------------------------------------------------ goldens
+# Two operators are deterministic (seed=42) but not SQL-expressible: HTML
+# link extraction (a parser) and LPA (coloring-order-dependent).  Their
+# oracles are committed golden parquet snapshots regenerated by
+# ``python scripts/make_goldens.py`` whenever the engine's deterministic
+# output legitimately changes — a regression pin, weaker than an
+# independent SQL oracle, and labeled as such here.
+GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "tests", "golden")
+
+SQL_LPA_GOLDEN = (f"SELECT id, label FROM "
+                  f"read_parquet('{GOLDEN_DIR}/label_propagation_web400.parquet')")
+SQL_WEB_EXTRACTION_GOLDEN = (f"SELECT src, dst FROM "
+                             f"read_parquet('{GOLDEN_DIR}/web_extraction_500.parquet')")
+
+
 # ---------------------------------------------------------------- registry
 QUERIES = {
     # graph operators (derived lineitem graph)
@@ -488,6 +628,8 @@ QUERIES = {
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
     "triangle_counts": (q_triangles, SQL_TRIANGLES),
     "transitivity": (q_transitivity, SQL_TRANSITIVITY),
+    "hits": (q_hits, SQL_HITS),
+    "core_number": (q_core_number, SQL_CORE_NUMBER),
     # documents pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -495,6 +637,7 @@ QUERIES = {
     "minhash_signatures": (q_minhash_signatures, SQL_MINHASH),
     "simhash": (q_simhash, SQL_SIMHASH),
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD),
+    "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
     # embeddings
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
@@ -505,50 +648,30 @@ QUERIES = {
     "top_customers": (q_top_customers, SQL_TOP_CUSTOMERS),
 }
 
-# non-SQL-expressible operators: rows-only driver check (iterative /
-# coloring / LSH-bucketing randomness is engine-internal)
-ROWS_ONLY_QUERIES = {}
-
-
 def _web_graph(spark, n=400, directed=True):
-    # the dense derived lineitem graph makes coloring/peeling loops take
-    # hundreds of supersteps; the sparse synthetic web graph is the
-    # representative input for these operators
+    # the dense derived lineitem graph makes LPA coloring take hundreds of
+    # supersteps; the sparse synthetic web graph is the representative
+    # input for this operator
     from networkx_spark.generators import web_edges
     return Graph.from_edges(web_edges(spark, n, seed=42, as_urls=False),
                             directed=directed)
 
 
-def _q_lpa(spark, sf_dir):
+def q_lpa(spark, sf_dir):
     from networkx_spark.algorithms.label_propagation import label_propagation_communities
     return label_propagation_communities(_web_graph(spark, directed=False))
 
 
-def _q_kcore(spark, sf_dir):
-    from networkx_spark.algorithms.kcore import core_number
-    return core_number(_web_graph(spark, directed=False).remove_selfloops())
-
-
-def _q_hits(spark, sf_dir):
-    from networkx_spark.algorithms.hits import hits
-    return hits(_web_graph(spark), tol=1e-3)
-
-
-def _q_lsh_candidates(spark, sf_dir):
-    from networkx_spark.pipeline.dedup import lsh_candidate_pairs, minhash_signatures
-    return lsh_candidate_pairs(minhash_signatures(load(spark, sf_dir, "documents"), k=3))
-
-
-def _q_web_extraction(spark, sf_dir):
+def q_web_extraction(spark, sf_dir):
     from networkx_spark.extract import edges_from_pages
     from networkx_spark.generators import synthesize_pages
     return edges_from_pages(synthesize_pages(spark, 500, seed=42))
 
 
-ROWS_ONLY_QUERIES.update({
-    "label_propagation": _q_lpa,
-    "core_number": _q_kcore,
-    "hits": _q_hits,
-    "lsh_candidates": _q_lsh_candidates,
-    "web_extraction": _q_web_extraction,
+QUERIES.update({
+    "label_propagation": (q_lpa, SQL_LPA_GOLDEN),
+    "web_extraction": (q_web_extraction, SQL_WEB_EXTRACTION_GOLDEN),
 })
+
+# all operators now carry an oracle (SQL twin or committed golden snapshot)
+ROWS_ONLY_QUERIES = {}

@@ -1,0 +1,39 @@
+#!/usr/bin/env python
+"""Regenerate the committed golden parquet snapshots (tests/golden/).
+
+Two driver queries are deterministic (seed=42) but not SQL-expressible —
+HTML link extraction and label propagation — so their driver oracle is a
+golden snapshot of the engine's own output, committed to the repo.  Run
+this script (and review the diff!) whenever the engine's deterministic
+output legitimately changes; the driver then compares the live Spark run
+against the pinned snapshot.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from networkx_spark.entry_queries import GOLDEN_DIR, q_lpa, q_web_extraction
+    from networkx_spark.session import get_spark
+
+    spark = get_spark("make-goldens", cores=8, shuffle_partitions=8)
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name, fn in [("label_propagation_web400", q_lpa),
+                     ("web_extraction_500", q_web_extraction)]:
+        # single file, no partitioning — a stable, reviewable snapshot
+        df = fn(spark, "")
+        cols = list(df.columns)
+        pdf = df.toPandas().sort_values(by=cols).reset_index(drop=True)
+        path = os.path.join(GOLDEN_DIR, f"{name}.parquet")
+        pdf.to_parquet(path, index=False)
+        print(f"{path}: {len(pdf)} rows, cols={cols}")
+
+
+if __name__ == "__main__":
+    main()
