@@ -10,20 +10,26 @@ matvec:
   index ``v // B`` (modulo blocking stripes hot vertices' in-edges across
   source blocks — built-in skew salting),
 * ``tiles(sb, db, si, di, w)`` — one row per block pair, the tile's edges
-  as int/double arrays (built once, parquet-backed),
-* a superstep joins tiles with the B-row rank state on ``sb``, computes
-  per-tile partial contributions with ``np.bincount`` inside
-  ``mapInPandas`` (Arrow in, Arrow out), and reduces partials per ``db``
-  with a second grouped-pandas pass that also applies dangling mass and
-  teleport,
+  as int/double arrays (built once, parquet-backed, **cached partitioned
+  by sb**),
+* a superstep shuffles ONLY the B-row rank state to the tile partitions
+  (co-partitioned join on ``sb`` — O(n) doubles, never a broadcast: an
+  O(n) per-executor broadcast is ~80 GB per superstep at the 10¹⁰-vertex
+  target), computes per-tile contributions with ``np.bincount`` inside
+  ``mapInPandas`` and folds them per ``db`` within the partition,
+  emitting **sparse** (index, value) partials — reduce volume is bounded
+  by the number of distinct (source-block, dst) pairs ≤ m, the same
+  asymptotics as the row kernel's scatter shuffle,
+* partials reduce per ``db`` in one grouped-pandas ``bincount``; the rank
+  update (teleport + dangling) stays JVM-side array math,
 * residual + dangling mass come from one JVM-side aggregation over the
   array state (``zip_with``/``aggregate``), exactly like the row path.
 
 Numerics match ``networkx_spark.algorithms.pagerank`` (same normalization,
 dangling rule, ``err < N·tol`` stop) — the parity test compares them at
-1e-12.  Scale story: state is B rows of n/B-double arrays; tiles shuffle by
-``sb``/``db`` only; nothing driver-side grows with n except the scalar
-residual.
+1e-12.  Scale story: per superstep the engine shuffles O(n) state +
+O(distinct (sb, dst)) sparse partials; nothing is broadcast and nothing
+driver-side grows with n except the scalar residual.
 """
 
 from __future__ import annotations
@@ -145,8 +151,11 @@ def pagerank_blocked(
         runner = SuperstepRunner(checkpoint_dir, name="pagerank_blocked",
                                  interval=checkpoint_interval)
     adj = g.symmetrized()
+    # partitioned by sb: the superstep join co-locates each state row with
+    # every tile needing it, so only the state (B rows, O(n) total)
+    # shuffles per superstep
     tiles = runner.cut(build_tiles(adj, n, B, weight)
-                       .repartition(B, "db")).cache()
+                       .repartition(B, "sb")).cache()
     tiles.count()
     statics = runner.cut(_build_dangling(adj, n, B, weight)).cache()
     # x0: per-block uniform arrays, built JVM-side (size_b = ceil((n-b)/B))
@@ -157,10 +166,11 @@ def pagerank_blocked(
     state = runner.cut(x0)
 
     def scatter(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # tiles are partitioned by db, so fold every tile of a db within
-        # this partition into ONE partial — reduce volume is O(n) doubles
-        # per superstep instead of O(B·n)
-        acc: dict[int, np.ndarray] = {}
+        # tiles in this partition share a small set of sb values; fold all
+        # contributions per db into sparse (index, value) partials so the
+        # reduce shuffle is bounded by distinct (sb, dst) pairs, not B·n
+        acc_i: dict[int, list[np.ndarray]] = {}
+        acc_v: dict[int, list[np.ndarray]] = {}
         for pdf in it:
             for db, si, di, w, x in zip(pdf["db"], pdf["si"], pdf["di"],
                                         pdf["w"], pdf["x"]):
@@ -168,13 +178,23 @@ def pagerank_blocked(
                 si = np.asarray(si, dtype=np.int64)
                 di = np.asarray(di, dtype=np.int64)
                 wv = np.asarray(w, dtype=np.float64)
-                y = np.bincount(di, weights=wv * xv[si], minlength=sizes[int(db)])
-                if int(db) in acc:
-                    acc[int(db)] += y
-                else:
-                    acc[int(db)] = y
-        if acc:
-            yield pd.DataFrame({"db": list(acc), "y": list(acc.values())})
+                y = np.bincount(di, weights=wv * xv[si])
+                nz = np.nonzero(y)[0]
+                acc_i.setdefault(int(db), []).append(nz.astype(np.int32))
+                acc_v.setdefault(int(db), []).append(y[nz])
+        out_db, out_i, out_v = [], [], []
+        for db, idx_list in acc_i.items():
+            # one sparse partial per (partition, db): duplicate indices
+            # across tiles of the same db are pre-summed here
+            idx = np.concatenate(idx_list)
+            val = np.concatenate(acc_v[db])
+            y = np.bincount(idx, weights=val)
+            nz = np.nonzero(y)[0]
+            out_db.append(db)
+            out_i.append(nz.astype(np.int32))
+            out_v.append(y[nz])
+        if out_db:
+            yield pd.DataFrame({"db": out_db, "i": out_i, "y": out_v})
 
     def scalars(st: DataFrame) -> tuple[float, float]:
         """(dangling_mass, l1 residual) in one JVM aggregation."""
@@ -193,18 +213,22 @@ def pagerank_blocked(
                                F.lit(0.0), lambda acc, v: acc + v)))
         .collect()[0][0] or 0.0)
 
-    sum_expr = ("aggregate(ys, cast(array() as array<double>), "
-                "(acc, y) -> CASE WHEN size(acc) = 0 THEN y "
-                "ELSE zip_with(acc, y, (a, b) -> a + b) END)")
+    def reduce_db(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        b = int(key[0])
+        idx = np.concatenate([np.asarray(a, np.int64) for a in pdf["i"]])
+        val = np.concatenate([np.asarray(a, np.float64) for a in pdf["y"]])
+        y = np.bincount(idx, weights=val, minlength=sizes[b])
+        return pd.DataFrame({"b": [b], "y": [y]})
 
     try:
         for it in range(max_iter):
+            # co-partitioned join: tiles cached partitioned by sb, only the
+            # B-row state shuffles (no O(n)-per-executor broadcast)
             partials = (tiles.join(
-                F.broadcast(state.select(F.col("b").alias("sb"), "x")), "sb")
-                .mapInPandas(scatter, schema="db int, y array<double>"))
-            summed = (partials.groupBy(F.col("db").alias("b"))
-                      .agg(F.collect_list("y").alias("ys"))
-                      .select("b", F.expr(sum_expr).alias("y")))
+                state.select(F.col("b").alias("sb"), "x"), "sb")
+                .mapInPandas(scatter, schema="db int, i array<int>, y array<double>"))
+            summed = partials.groupBy("db").applyInPandas(
+                reduce_db, schema="b int, y array<double>")
             # x_new = alpha*(y + dmass/n) + (1-alpha)/n, all JVM-side
             teleport = (1.0 - alpha) / n
             base = alpha * dmass / n

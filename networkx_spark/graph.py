@@ -285,14 +285,34 @@ class Graph:
         The distributed analogue of the reference's
         ``index = dict(zip(nodelist, range(nlen)))`` (``convert_matrix.py:591``)
         / ``convert_node_labels_to_integers`` (``relabel.py:227``).  vids are
-        dense 0..N-1 ordered by id (deterministic, resume-stable).  The
-        single-partition ``row_number`` window is the textbook bottleneck —
-        here it is confined to the (id) dictionary build, run once per
-        snapshot; iteration state then lives on longs.  On a cluster swap in
-        a two-level (partition offset + local rank) assignment.
+        dense 0..N-1 ordered by id (deterministic, resume-stable).
+
+        Two-level assignment — no single-partition window anywhere in the
+        plan: a range-partitioned sort gives each partition a contiguous id
+        range; per-partition counts (one tiny aggregate) become prefix-sum
+        offsets broadcast back as a literal CASE; vid = offset[partition] +
+        local rank, where the local rank is a ``row_number`` window keyed
+        BY partition id, so every window group is one partition's rows.
         """
-        w = Window.orderBy(ID)
-        vmap = self.vertices().withColumn(VID, F.row_number().over(w) - F.lit(1))
+        spark = self._edges.sparkSession
+        # range partition by id: partition p holds ids entirely before
+        # partition p+1's (Spark's RangePartitioner samples keys; the exact
+        # split points don't matter, only the ordering between partitions)
+        v = (self.vertices()
+             .repartitionByRange(F.col(ID))
+             .sortWithinPartitions(ID)
+             .withColumn("_pid", F.spark_partition_id()))
+        v = v.cache()
+        counts = {r["_pid"]: r["c"] for r in
+                  v.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        off = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
+        w = Window.partitionBy("_pid").orderBy(ID)
+        vmap = (v.withColumn(VID, off[F.col("_pid")] + F.row_number().over(w) - 1)
+                .select(ID, F.col(VID).cast("long").alias(VID)))
         e = (self._edges
              .join(vmap.select(F.col(ID).alias(SRC), F.col(VID).alias("src_vid")), SRC)
              .join(vmap.select(F.col(ID).alias(DST), F.col(VID).alias("dst_vid")), DST)

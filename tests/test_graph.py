@@ -80,6 +80,23 @@ def test_with_vids_dense_and_joinable(spark):
     assert pairs == {(m["b"], m["a"]), (m["c"], m["a"])}
 
 
+def test_with_vids_two_level_no_single_partition_exchange(spark):
+    # the dictionary build must never funnel all rows through one
+    # partition (the classic global row_number bottleneck)
+    from pyspark.sql import functions as F
+    edges = spark.range(5000).select(
+        F.col("id").alias("src"), ((F.col("id") * 7) % 4999).alias("dst"))
+    g = Graph.from_edges(edges.filter("src <> dst"))
+    vmap, _ = g.with_vids()
+    plan = vmap._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+    vids = [r.vid for r in vmap.collect()]
+    assert sorted(vids) == list(range(len(vids)))          # dense 0..N-1
+    m = as_dict(vmap, "id", "vid")
+    ids = sorted(m)
+    assert [m[i] for i in ids] == sorted(m.values())       # ordered by id
+
+
 def test_empty_graph(spark):
     g = Graph.from_edge_list(spark, [], directed=False)
     assert g.number_of_vertices() == 0
