@@ -22,12 +22,22 @@ from networkx_spark.algorithms.pagerank_blocked import pagerank_blocked
 from networkx_spark.algorithms.components import (
     connected_components, number_connected_components, weakly_connected_components)
 from networkx_spark.algorithms.triangles import triangles, clustering, transitivity, average_clustering
-from networkx_spark.algorithms.label_propagation import greedy_color, label_propagation_communities
+from networkx_spark.algorithms.label_propagation import (
+    asyn_lpa_communities, fast_label_propagation_communities, greedy_color,
+    label_propagation_communities)
 from networkx_spark.algorithms.hits import hits
 from networkx_spark.algorithms.kcore import core_number, k_core
-from networkx_spark.algorithms.bfs import bfs_distances, descendants
+from networkx_spark.algorithms.bfs import NodeNotFound, bfs_distances, descendants
+from networkx_spark.algorithms.scc import (
+    condensation, is_strongly_connected,
+    number_strongly_connected_components, strongly_connected_components)
+from networkx_spark.attributes import (
+    get_edge_attributes, get_node_attributes,
+    set_edge_attributes, set_node_attributes)
+from networkx_spark.readwrite import (
+    read_adjlist, read_edgelist, write_adjlist, write_edgelist)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "Graph",
@@ -38,16 +48,31 @@ __all__ = [
     "connected_components",
     "weakly_connected_components",
     "number_connected_components",
+    "strongly_connected_components",
+    "number_strongly_connected_components",
+    "is_strongly_connected",
+    "condensation",
     "triangles",
     "clustering",
     "transitivity",
     "average_clustering",
     "label_propagation_communities",
+    "asyn_lpa_communities",
+    "fast_label_propagation_communities",
     "greedy_color",
     "hits",
     "core_number",
     "k_core",
     "bfs_distances",
     "descendants",
+    "NodeNotFound",
+    "get_node_attributes",
+    "set_node_attributes",
+    "get_edge_attributes",
+    "set_edge_attributes",
+    "read_edgelist",
+    "write_edgelist",
+    "read_adjlist",
+    "write_adjlist",
     "__version__",
 ]

@@ -234,6 +234,27 @@ FROM hf{iters} hf JOIN af{iters} af USING (id)""")
 SQL_HITS = _hits_sql()
 
 
+# ------------------------------------------------------------------ graph: scc
+def q_scc(spark, sf_dir):
+    from networkx_spark.algorithms.scc import strongly_connected_components
+    return strongly_connected_components(derived_graph(spark, sf_dir))
+
+
+SQL_SCC = f"""
+WITH RECURSIVE e AS MATERIALIZED ({EDGES_SQL}),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+reach(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b
+),
+mutual AS (SELECT r1.a AS id, r1.b AS other
+           FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+SELECT v.id, greatest(v.id, COALESCE(max(m.other), v.id)) AS component
+FROM v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id
+"""
+
+
 # ---------------------------------------------------------- graph: core number
 KC_MOD = 9973      # sparser vertex fold for the peeling oracle (kmax ~12)
 KC_KMAX = 14       # > measured kmax at sf0.01 (12); extra levels are no-ops
@@ -630,6 +651,7 @@ QUERIES = {
     "transitivity": (q_transitivity, SQL_TRANSITIVITY),
     "hits": (q_hits, SQL_HITS),
     "core_number": (q_core_number, SQL_CORE_NUMBER),
+    "strongly_connected_components": (q_scc, SQL_SCC),
     # documents pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -140,3 +140,98 @@ def synthesize_pages(spark, n: int, seed: int = 42):
             yield _page_rows(pdf["id"].to_numpy(), n, seed)
 
     return spark.range(n).mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+# --------------------------------------------------------- classic fixtures
+# Distributed, seed-deterministic builders mirroring the reference's
+# fixture generators; all return :class:`~networkx_spark.graph.Graph`.
+
+def _range_graph(spark, edges_df, directed=False, vertices=None):
+    from networkx_spark.graph import Graph
+    return Graph.from_edges(edges_df, directed=directed, vertices=vertices)
+
+
+def complete_graph(spark, n: int, directed: bool = False):
+    """All vertex pairs (``networkx/generators/classic.py:317``).
+    Θ(n²) edges — fixture scale."""
+    import pyspark.sql.functions as F
+    a = spark.range(n).select(F.col("id").alias("src"))
+    b = spark.range(n).select(F.col("id").alias("dst"))
+    pairs = a.crossJoin(b)
+    pairs = pairs.filter("src != dst") if directed else pairs.filter("src < dst")
+    v = spark.range(n).select(F.col("id"))
+    return _range_graph(spark, pairs, directed, vertices=v)
+
+
+def path_graph(spark, n: int):
+    """0-1-2-…-(n-1) (``classic.py:754``)."""
+    import pyspark.sql.functions as F
+    e = spark.range(max(0, n - 1)).select(F.col("id").alias("src"),
+                                          (F.col("id") + 1).alias("dst"))
+    v = spark.range(n).select(F.col("id"))
+    return _range_graph(spark, e, vertices=v)
+
+
+def cycle_graph(spark, n: int):
+    """Path plus the closing edge (``classic.py:414``)."""
+    import pyspark.sql.functions as F
+    e = spark.range(n).select(F.col("id").alias("src"),
+                              ((F.col("id") + 1) % n).alias("dst"))
+    v = spark.range(n).select(F.col("id"))
+    return _range_graph(spark, e, vertices=v)
+
+
+def star_graph(spark, n: int):
+    """Center 0 joined to n leaves — n+1 vertices (``classic.py:780``)."""
+    import pyspark.sql.functions as F
+    e = spark.range(1, n + 1).select(F.lit(0).alias("src"), F.col("id").alias("dst"))
+    v = spark.range(n + 1).select(F.col("id"))
+    return _range_graph(spark, e, vertices=v)
+
+
+def gnp_random_graph(spark, n: int, p: float, seed: int = 42,
+                     directed: bool = False):
+    """Erdős–Rényi G(n, p) (``random_graphs.py:113``): pair (i, j) is an
+    edge iff a splitmix64 hash of (seed, i·n+j) maps below p — the same
+    graph at any parallelism, no RNG state (SURVEY §2.9 seeded-randomness
+    contract; the reference uses a seeded ``random()`` stream, so graphs
+    differ from CPython's but match this engine's across runs).
+    Θ(n²) candidate pairs — fixture scale."""
+    import pyspark.sql.functions as F
+
+    def gen(it):
+        for pdf in it:
+            k = pdf["id"].to_numpy(np.int64)
+            i, j = k // n, k % n
+            keep = (i < j) if not directed else (i != j)
+            i, j, k = i[keep], j[keep], k[keep]
+            u = _u01(_h(seed, k, 9))
+            sel = u < p
+            yield pd.DataFrame({"src": i[sel], "dst": j[sel]})
+
+    e = spark.range(n * n).mapInPandas(gen, schema="src long, dst long")
+    v = spark.range(n).select(F.col("id"))
+    return _range_graph(spark, e, directed, vertices=v)
+
+
+# Zachary's karate club (public-domain social network; reference
+# ``generators/social.py:15`` embeds the same data)
+KARATE_EDGES = [
+    (0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8), (0, 10),
+    (0, 11), (0, 12), (0, 13), (0, 17), (0, 19), (0, 21), (0, 31), (1, 2),
+    (1, 3), (1, 7), (1, 13), (1, 17), (1, 19), (1, 21), (1, 30), (2, 3),
+    (2, 7), (2, 8), (2, 9), (2, 13), (2, 27), (2, 28), (2, 32), (3, 7),
+    (3, 12), (3, 13), (4, 6), (4, 10), (5, 6), (5, 10), (5, 16), (6, 16),
+    (8, 30), (8, 32), (8, 33), (9, 33), (13, 33), (14, 32), (14, 33),
+    (15, 32), (15, 33), (18, 32), (18, 33), (19, 33), (20, 32), (20, 33),
+    (22, 32), (22, 33), (23, 25), (23, 27), (23, 29), (23, 32), (23, 33),
+    (24, 25), (24, 27), (24, 31), (25, 31), (26, 29), (26, 33), (27, 33),
+    (28, 31), (28, 33), (29, 32), (29, 33), (30, 32), (30, 33), (31, 32),
+    (31, 33), (32, 33),
+]
+
+
+def karate_club_graph(spark):
+    """Zachary's karate club, 34 vertices / 78 edges (``social.py:15``)."""
+    e = spark.createDataFrame(KARATE_EDGES, "src long, dst long")
+    return _range_graph(spark, e)

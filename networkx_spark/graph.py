@@ -46,11 +46,19 @@ class Graph:
     """
 
     def __init__(self, edges: DataFrame, directed: bool = True,
-                 vertices: Optional[DataFrame] = None):
+                 vertices: Optional[DataFrame] = None,
+                 vertex_attrs: Optional[DataFrame] = None,
+                 edge_attrs: Optional[DataFrame] = None):
         cols = [SRC, DST] + ([WEIGHT] if WEIGHT in edges.columns else [])
         self._edges = edges.select(*cols)
         self.directed = directed
         self._extra_vertices = vertices.select(ID) if vertices is not None else None
+        # attribute side tables (reference: per-node/edge attr dicts,
+        # ``classes/function.py:568-843``): (id, attr…) / (src, dst, attr…);
+        # getters semi-join against the live vertex/edge set, so carrying
+        # a superset through views is safe
+        self._vertex_attrs = vertex_attrs
+        self._edge_attrs = edge_attrs
 
     # ------------------------------------------------------------------ build
     @classmethod
@@ -151,15 +159,69 @@ class Graph:
         if not self.directed:
             return self
         rev = self._edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
-        return Graph(rev, directed=True, vertices=self._extra_vertices)
+        ea = self._edge_attrs
+        if ea is not None:
+            rest = [c for c in ea.columns if c not in (SRC, DST)]
+            ea = ea.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), *rest)
+        return Graph(rev, directed=True, vertices=self._extra_vertices,
+                     vertex_attrs=self._vertex_attrs, edge_attrs=ea)
 
     def to_undirected(self) -> "Graph":
         """Collapse direction (reference ``graph.py:1711``); weights of
         antiparallel pairs sum (CSR-symmetrization semantics)."""
         if not self.directed:
             return self
-        return Graph.from_edges(self._edges, directed=False, weight=WEIGHT,
-                                vertices=self._extra_vertices)
+        out = Graph.from_edges(self._edges, directed=False, weight=WEIGHT,
+                               vertices=self._extra_vertices)
+        out._vertex_attrs = self._vertex_attrs
+        if self._edge_attrs is not None:
+            rest = [c for c in self._edge_attrs.columns if c not in (SRC, DST)]
+            # canonicalize keys; if antiparallel edges carried different
+            # attrs one of the two rows survives (documented best-effort)
+            out._edge_attrs = (self._edge_attrs
+                               .select(F.least(SRC, DST).alias(SRC),
+                                       F.greatest(SRC, DST).alias(DST), *rest)
+                               .dropDuplicates([SRC, DST]))
+        return out
+
+    def to_directed(self) -> "Graph":
+        """Each undirected edge becomes two reciprocal directed edges
+        (reference ``graph.py:1655-1709``); a directed graph returns
+        itself (``DiGraph.to_directed`` copies)."""
+        if self.directed:
+            return self
+        ea = self._edge_attrs
+        if ea is not None:
+            rest = [c for c in ea.columns if c not in (SRC, DST)]
+            ea = ea.unionByName(ea.filter(F.col(SRC) != F.col(DST)).select(
+                F.col(DST).alias(SRC), F.col(SRC).alias(DST), *rest))
+        return Graph(self.symmetrized(), directed=True,
+                     vertices=self._extra_vertices,
+                     vertex_attrs=self._vertex_attrs, edge_attrs=ea)
+
+    # -------------------------------------------------------------- adjacency
+    def neighbors(self, v) -> DataFrame:
+        """(id) neighbors of ``v`` (reference ``graph.py:1266``: iterator
+        over ``G.adj[v]``); for directed graphs these are the successors,
+        matching ``DiGraph.neighbors`` (``digraph.py:791``)."""
+        return (self.symmetrized()
+                .filter(F.col(SRC) == F.lit(v))
+                .select(F.col(DST).alias(ID)).distinct())
+
+    def successors(self, v) -> DataFrame:
+        """Directed out-neighbors (``digraph.py:791``)."""
+        if not self.directed:
+            return self.neighbors(v)
+        return (self._edges.filter(F.col(SRC) == F.lit(v))
+                .select(F.col(DST).alias(ID)).distinct())
+
+    def predecessors(self, v) -> DataFrame:
+        """Directed in-neighbors (``digraph.py:812``) — a filter on ``dst``,
+        the engine's stand-in for the reference's materialized ``_pred``."""
+        if not self.directed:
+            return self.neighbors(v)
+        return (self._edges.filter(F.col(DST) == F.lit(v))
+                .select(F.col(SRC).alias(ID)).distinct())
 
     # ---------------------------------------------------------------- degrees
     def out_degrees(self, weighted: bool = False) -> DataFrame:
@@ -238,7 +300,7 @@ class Graph:
              .join(n.withColumnRenamed(ID, SRC), SRC, "semi")
              .join(n.withColumnRenamed(ID, DST), DST, "semi")
              .select(SRC, DST, WEIGHT))
-        return Graph(e, directed=self.directed, vertices=n)
+        return self._carry(e, vertices=n)
 
     def edge_subgraph(self, edges: DataFrame) -> "Graph":
         """Keep listed edges only (``graph.py:1842``); endpoints become the
@@ -248,11 +310,11 @@ class Graph:
         if not self.directed:
             keys = keys.select(F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST))
         e = self._edges.join(keys, [SRC, DST], "semi")
-        return Graph(e, directed=self.directed)
+        return self._carry(e)
 
     def remove_selfloops(self) -> "Graph":
-        return Graph(self._edges.filter(F.col(SRC) != F.col(DST)),
-                     directed=self.directed, vertices=self._extra_vertices)
+        return self._carry(self._edges.filter(F.col(SRC) != F.col(DST)),
+                           vertices=self._extra_vertices)
 
     def selfloops(self) -> DataFrame:
         """Reference ``selfloop_edges`` (``classes/function.py:1147``)."""
@@ -276,6 +338,75 @@ class Graph:
         if not self.directed:
             cond = cond | ((F.col(SRC) == F.lit(b)) & (F.col(DST) == F.lit(a)))
         return self._edges.filter(cond).limit(1).count() > 0
+
+    # -------------------------------------------------------------- attributes
+    def _carry(self, edges: DataFrame, directed: Optional[bool] = None,
+               vertices: Optional[DataFrame] = None) -> "Graph":
+        """New Graph over ``edges`` carrying this graph's attr tables."""
+        return Graph(edges,
+                     directed=self.directed if directed is None else directed,
+                     vertices=vertices,
+                     vertex_attrs=self._vertex_attrs,
+                     edge_attrs=self._edge_attrs)
+
+    def with_vertex_attrs(self, attrs: DataFrame) -> "Graph":
+        """Attach/overwrite vertex attributes from ``attrs(id, col…)`` —
+        the reference's ``set_node_attributes`` (``function.py:568``).
+        Columns in ``attrs`` win over same-named existing ones; other
+        existing columns are kept (dict-update semantics)."""
+        from networkx_spark.attributes import merge_attrs
+        a = attrs.withColumnRenamed(attrs.columns[0], ID)
+        a = merge_attrs(self._vertex_attrs, a, [ID])
+        return Graph(self._edges, directed=self.directed,
+                     vertices=self._extra_vertices,
+                     vertex_attrs=a, edge_attrs=self._edge_attrs)
+
+    def vertex_attr(self, name: str, default=None) -> DataFrame:
+        """(id, <name>) for live vertices — ``get_node_attributes``
+        (``function.py:669``): vertices missing the attribute are omitted
+        unless ``default`` is given (``:705`` default semantics)."""
+        if self._vertex_attrs is None or name not in self._vertex_attrs.columns:
+            base = self.vertices()
+            if default is None:
+                return base.limit(0).withColumn(name, F.lit(None))
+            return base.withColumn(name, F.lit(default))
+        live = self.vertices().join(self._vertex_attrs.select(ID, name), ID, "left")
+        if default is None:
+            return live.filter(F.col(name).isNotNull())
+        return live.select(ID, F.coalesce(name, F.lit(default)).alias(name))
+
+    def with_edge_attrs(self, attrs: DataFrame) -> "Graph":
+        """Attach/overwrite edge attributes from ``attrs(src, dst, col…)``
+        — ``set_edge_attributes`` (``function.py:843``); undirected keys
+        are canonicalized like the edge table itself."""
+        c0, c1 = attrs.columns[:2]
+        a = attrs.withColumnRenamed(c0, SRC).withColumnRenamed(c1, DST)
+        from networkx_spark.attributes import merge_attrs
+        if not self.directed:
+            rest = [c for c in a.columns if c not in (SRC, DST)]
+            a = a.select(F.least(SRC, DST).alias(SRC),
+                         F.greatest(SRC, DST).alias(DST), *rest)
+        a = merge_attrs(self._edge_attrs, a, [SRC, DST])
+        return Graph(self._edges, directed=self.directed,
+                     vertices=self._extra_vertices,
+                     vertex_attrs=self._vertex_attrs, edge_attrs=a)
+
+    def edge_attr(self, name: str, default=None) -> DataFrame:
+        """(src, dst, <name>) for live edges — ``get_edge_attributes``
+        (``function.py:705``)."""
+        if name == WEIGHT and (
+                self._edge_attrs is None or name not in self._edge_attrs.columns):
+            return self._edges.select(SRC, DST, WEIGHT)
+        if self._edge_attrs is None or name not in self._edge_attrs.columns:
+            base = self._edges.select(SRC, DST)
+            if default is None:
+                return base.limit(0).withColumn(name, F.lit(None))
+            return base.withColumn(name, F.lit(default))
+        live = (self._edges.select(SRC, DST)
+                .join(self._edge_attrs.select(SRC, DST, name), [SRC, DST], "left"))
+        if default is None:
+            return live.filter(F.col(name).isNotNull())
+        return live.select(SRC, DST, F.coalesce(name, F.lit(default)).alias(name))
 
     # ------------------------------------------------------------------- vids
     def with_vids(self) -> tuple[DataFrame, DataFrame]:
