@@ -69,16 +69,34 @@ def triangle_corners(g: Graph) -> DataFrame:
     return tri
 
 
-def triangles(g: Graph) -> DataFrame:
+def _nbunch(df: DataFrame, nodes) -> DataFrame:
+    """Restrict an (id, …) result to ``nodes`` (DataFrame or iterable) —
+    the reference's ``nbunch_iter`` subset form (``cluster.py:30-33``)."""
+    if nodes is None:
+        return df
+    if isinstance(nodes, DataFrame):
+        n = nodes.select(F.col(nodes.columns[0]).alias(ID))
+    else:
+        spark = df.sparkSession
+        n = spark.createDataFrame([(v,) for v in nodes],
+                                  df.select(ID).schema)
+    return df.join(n, ID, "semi")
+
+
+def triangles(g: Graph, nodes=None) -> DataFrame:
     """(id, triangles) per vertex — every vertex present, isolated/zero
-    included (``cluster.py:77`` initializes all counts to 0)."""
+    included (``cluster.py:77`` initializes all counts to 0); ``nodes``
+    restricts the output like ``triangles(G, nbunch)`` (``cluster.py:30``).
+    The count itself is always computed on the full graph — a triangle's
+    corners need not lie in the nbunch."""
     tri = triangle_corners(g)
     corners = (tri.select(F.col("a").alias(ID))
                .union(tri.select(F.col("b").alias(ID)))
                .union(tri.select(F.col("c").alias(ID))))
     counts = corners.groupBy(ID).agg(F.count("*").alias("triangles"))
-    return (g.vertices().join(counts, ID, "left")
-            .select(ID, F.coalesce("triangles", F.lit(0)).alias("triangles")))
+    out = (g.vertices().join(counts, ID, "left")
+           .select(ID, F.coalesce("triangles", F.lit(0)).alias("triangles")))
+    return _nbunch(out, nodes)
 
 
 def total_triangles(g: Graph) -> int:
@@ -101,15 +119,101 @@ def _tri_and_deg(g: Graph) -> DataFrame:
             .select(ID, "triangles", F.coalesce("deg", F.lit(0)).alias("deg")))
 
 
-def clustering(g: Graph) -> DataFrame:
-    """(id, clustering): c_u = 2T(u)/(d(d-1)), 0 when d < 2
-    (``cluster.py:311-422``, unweighted path)."""
-    td = _tri_and_deg(g)
-    return td.select(
-        ID,
-        F.when(F.col("deg") < 2, F.lit(0.0))
-         .otherwise(2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)))
-         .alias("clustering"))
+def _pair_strengths(g: Graph, weight: bool) -> DataFrame:
+    """(u, v, s) per unordered vertex pair (u < v, self-loops excluded).
+
+    ``s`` is the factorized per-pair term of the reference's triangle
+    sums: undirected → ``cbrt(ŵ)`` (1 when unweighted); directed →
+    ``cbrt(ŵ_uv) + cbrt(ŵ_vu)`` (edge-direction multiplicity 1/2 when
+    unweighted), which makes every directed-combination sum in
+    ``_directed[_weighted]_triangles_and_degree_iter`` (``cluster.py:152,
+    187``) a product of three pair terms."""
+    e = g.edges.filter(F.col(SRC) != F.col(DST))
+    if weight:
+        mx = e.agg(F.max(F.col("weight"))).collect()[0][0] or 1.0
+        term = F.cbrt(F.col("weight") / F.lit(float(mx)))
+    else:
+        term = F.lit(1.0)
+    per_dir = e.select(F.least(SRC, DST).alias("u"),
+                       F.greatest(SRC, DST).alias("v"), term.alias("s"))
+    if not g.directed:
+        return per_dir
+    return per_dir.groupBy("u", "v").agg(F.sum("s").alias("s"))
+
+
+def _triangle_strength_sums(g: Graph, weight: bool) -> DataFrame:
+    """(id, t): Σ over triangles at the vertex of the product of the three
+    pair strengths (the per-corner weighted-triangle sum)."""
+    simple = g if not g.directed else Graph(
+        g.edges.filter(F.col(SRC) != F.col(DST))
+        .select(F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST))
+        .distinct().withColumn("weight", F.lit(1.0)), directed=False)
+    tri = triangle_corners(simple)
+    ps = _pair_strengths(g, weight)
+    t = (tri
+         .join(ps.withColumnsRenamed({"s": "s1"}),
+               (F.least("a", "b") == F.col("u")) & (F.greatest("a", "b") == F.col("v")))
+         .drop("u", "v")
+         .join(ps.withColumnsRenamed({"s": "s2"}),
+               (F.least("a", "c") == F.col("u")) & (F.greatest("a", "c") == F.col("v")))
+         .drop("u", "v")
+         .join(ps.withColumnsRenamed({"s": "s3"}),
+               (F.least("b", "c") == F.col("u")) & (F.greatest("b", "c") == F.col("v")))
+         .select("a", "b", "c", (F.col("s1") * F.col("s2") * F.col("s3")).alias("p")))
+    corners = (t.select(F.col("a").alias(ID), "p")
+               .union(t.select(F.col("b").alias(ID), "p"))
+               .union(t.select(F.col("c").alias(ID), "p")))
+    sums = corners.groupBy(ID).agg(F.sum("p").alias("t"))
+    return (g.vertices().join(sums, ID, "left")
+            .select(ID, F.coalesce("t", F.lit(0.0)).alias("t")))
+
+
+def clustering(g: Graph, nodes=None, weight: bool = False) -> DataFrame:
+    """(id, clustering) — the reference's full ``clustering(G, nodes,
+    weight)`` dispatch (``cluster.py:395-427``):
+
+    * undirected unweighted: ``2T/(d(d-1))``,
+    * undirected weighted: geometric-mean triangle weights
+      (``_weighted_triangles_and_degree_iter``, ``cluster.py:112``),
+    * directed (±weight): Fagiolo — ``T/(dt(dt-1) - 2·d_bidir)`` where the
+      triangle sum factorizes over per-pair direction multiplicities
+      (``_directed_triangles_and_degree_iter``, ``cluster.py:152``).
+    """
+    if not g.directed and not weight:
+        td = _tri_and_deg(g)
+        out = td.select(
+            ID,
+            F.when(F.col("deg") < 2, F.lit(0.0))
+             .otherwise(2.0 * F.col("triangles") / (F.col("deg") * (F.col("deg") - 1)))
+             .alias("clustering"))
+        return _nbunch(out, nodes)
+    t = _triangle_strength_sums(g, weight)
+    if not g.directed:
+        deg = (g.edges.filter(F.col(SRC) != F.col(DST))
+               .select(F.col(SRC).alias(ID)).union(
+                   g.edges.filter(F.col(SRC) != F.col(DST)).select(F.col(DST).alias(ID)))
+               .groupBy(ID).agg(F.count("*").alias("deg")))
+        out = (t.join(deg, ID, "left")
+               .select(ID, F.when(F.coalesce("deg", F.lit(0)) < 2, F.lit(0.0))
+                       .otherwise(2.0 * F.col("t") /
+                                  (F.col("deg") * (F.col("deg") - 1)))
+                       .alias("clustering")))
+        return _nbunch(out, nodes)
+    e = g.edges.filter(F.col(SRC) != F.col(DST))
+    dt = (e.select(F.col(SRC).alias(ID)).union(e.select(F.col(DST).alias(ID)))
+          .groupBy(ID).agg(F.count("*").alias("dt")))
+    bi = (e.select(SRC, DST)
+          .join(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)),
+                [SRC, DST], "semi")
+          .groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("db")))
+    out = (t.join(dt, ID, "left").join(bi, ID, "left")
+           .select(ID,
+                   F.when(F.col("t") == 0.0, F.lit(0.0))
+                   .otherwise(F.col("t") /
+                              (F.coalesce("dt", F.lit(0)) * (F.coalesce("dt", F.lit(0)) - 1)
+                               - 2 * F.coalesce("db", F.lit(0))))
+                   .alias("clustering")))
+    return _nbunch(out, nodes)
 
 
 def transitivity(g: Graph) -> float:
@@ -122,9 +226,10 @@ def transitivity(g: Graph) -> float:
     return 0.0 if t == 0 else t / c
 
 
-def average_clustering(g: Graph, count_zeros: bool = True) -> float:
+def average_clustering(g: Graph, nodes=None, weight: bool = False,
+                       count_zeros: bool = True) -> float:
     """Mean of the per-vertex coefficients (``cluster.py:251-307``)."""
-    c = clustering(g)
+    c = clustering(g, nodes=nodes, weight=weight)
     if not count_zeros:
         c = c.filter(F.abs(F.col("clustering")) > 0)
     row = c.agg(F.avg("clustering").alias("m")).collect()[0]

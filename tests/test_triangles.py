@@ -74,3 +74,61 @@ def test_oracle_random_graph(spark):
         assert got_clu[k] == pytest.approx(v, abs=1e-12)
     assert transitivity(g) == pytest.approx(nx.transitivity(G), abs=1e-12)
     assert average_clustering(g) == pytest.approx(nx.average_clustering(G), abs=1e-12)
+
+
+# -------------------------------------------- subset / weighted / directed
+def test_triangles_and_clustering_nbunch(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.triangles import clustering, triangles
+    G = nx.karate_club_graph()
+    g = Graph.from_edge_list(spark, list(G.edges()), directed=False)
+    want_t = nx.triangles(G, [0, 1, 2])
+    got_t = {int(r.id): r.triangles for r in triangles(g, ["0", "1", "2"]).collect()}
+    assert got_t == want_t
+    want_c = nx.clustering(G, [5, 6])
+    got_c = {int(r.id): r.clustering for r in clustering(g, ["5", "6"]).collect()}
+    for k, v in want_c.items():
+        assert got_c[k] == pytest.approx(v, abs=1e-9)
+
+
+def test_weighted_clustering_vs_reference(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.triangles import clustering
+    rng = __import__("random").Random(3)
+    G = nx.gnp_random_graph(25, 0.25, seed=4)
+    for u, v in G.edges():
+        G[u][v]["weight"] = rng.randint(1, 9)
+    g = Graph.from_edge_list(
+        spark, [(u, v, G[u][v]["weight"]) for u, v in G.edges()], directed=False)
+    want = nx.clustering(G, weight="weight")
+    got = {int(r.id): r.clustering for r in clustering(g, weight=True).collect()}
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_directed_clustering_vs_reference(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.triangles import clustering
+    G = nx.gnp_random_graph(25, 0.15, seed=9, directed=True)
+    g = Graph.from_edge_list(spark, list(G.edges()), directed=True,
+                             nodes=list(G.nodes()))
+    want = nx.clustering(G)
+    got = {int(r.id): r.clustering for r in clustering(g).collect()}
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_directed_weighted_clustering_vs_reference(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.triangles import clustering
+    rng = __import__("random").Random(11)
+    G = nx.gnp_random_graph(20, 0.2, seed=12, directed=True)
+    for u, v in G.edges():
+        G[u][v]["weight"] = rng.randint(1, 5)
+    g = Graph.from_edge_list(
+        spark, [(u, v, G[u][v]["weight"]) for u, v in G.edges()], directed=True,
+        nodes=list(G.nodes()))
+    want = nx.clustering(G, weight="weight")
+    got = {int(r.id): r.clustering for r in clustering(g, weight=True).collect()}
+    for k, v in want.items():
+        assert got[k] == pytest.approx(v, abs=1e-9), k
