@@ -370,6 +370,53 @@ SELECT CASE WHEN (SELECT nt FROM tri) = 0 THEN 0.0
 """
 
 
+# -------------------------------------------------- graph: weighted clustering
+def q_clustering_weighted(spark, sf_dir):
+    """Geometric-mean weighted clustering (``cluster.py:112-183``) on the
+    undirected derived graph weighted by summed l_quantity."""
+    from networkx_spark.algorithms.triangles import clustering
+    li = load(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_orderkey") % MOD).alias("src"),
+                   (F.col("l_partkey") % DST_MOD).alias("dst"),
+                   F.col("l_quantity").alias("w"))
+         .filter(F.col("src") != F.col("dst")))
+    g = Graph.from_edges(e, directed=False, weight="w", combine="sum")
+    return clustering(g, weight=True).select(
+        "id", F.round("clustering", 6).alias("clustering"))
+
+
+WEDGES_SQL = f"""
+SELECT least(l_orderkey % {MOD}, l_partkey % {DST_MOD}) AS src,
+       greatest(l_orderkey % {MOD}, l_partkey % {DST_MOD}) AS dst,
+       sum(l_quantity) AS w
+FROM lineitem WHERE l_orderkey % {MOD} <> l_partkey % {DST_MOD}
+GROUP BY 1, 2
+"""
+
+SQL_CLUSTERING_WEIGHTED = f"""
+WITH we AS MATERIALIZED ({WEDGES_SQL}),
+mx AS (SELECT max(w) AS m FROM we),
+s AS MATERIALIZED (SELECT src, dst, cbrt(w / (SELECT m FROM mx)) AS s FROM we),
+v AS (SELECT src AS id FROM we UNION SELECT dst FROM we),
+tri AS (
+    SELECT a.src AS x, a.dst AS y, b.dst AS z,
+           a.s * b.s * c.s AS p
+    FROM s a JOIN s b ON a.src = b.src AND a.dst < b.dst
+    JOIN s c ON c.src = a.dst AND c.dst = b.dst
+),
+corners AS (SELECT x AS id, p FROM tri UNION ALL SELECT y, p FROM tri
+            UNION ALL SELECT z, p FROM tri),
+t AS (SELECT id, sum(p) AS t FROM corners GROUP BY id),
+deg AS (SELECT id, count(*) AS d FROM
+        (SELECT src AS id FROM we UNION ALL SELECT dst FROM we) GROUP BY id)
+SELECT v.id,
+       CASE WHEN COALESCE(deg.d, 0) < 2 THEN 0.0
+            ELSE round(2.0 * COALESCE(t.t, 0) / (deg.d * (deg.d - 1)), 6) END
+       AS clustering
+FROM v LEFT JOIN t USING (id) LEFT JOIN deg USING (id)
+"""
+
+
 # --------------------------------------------------------------- documents ops
 def q_dedup_exact(spark, sf_dir):
     from networkx_spark.pipeline.dedup import exact_duplicates
@@ -652,6 +699,7 @@ QUERIES = {
     "hits": (q_hits, SQL_HITS),
     "core_number": (q_core_number, SQL_CORE_NUMBER),
     "strongly_connected_components": (q_scc, SQL_SCC),
+    "clustering_weighted": (q_clustering_weighted, SQL_CLUSTERING_WEIGHTED),
     # documents pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),

@@ -339,6 +339,71 @@ class Graph:
             cond = cond | ((F.col(SRC) == F.lit(b)) & (F.col(DST) == F.lit(a)))
         return self._edges.filter(cond).limit(1).count() > 0
 
+    # -------------------------------------------------------- snapshot updates
+    # The reference mutates in place (add_edge/remove_node, graph.py:577+);
+    # an edge table is immutable, so mutation is functional: each call
+    # returns a NEW snapshot Graph (the Iceberg deployment appends a table
+    # snapshot).  Attribute tables ride along.
+    def add_edges(self, edges: DataFrame, weight: Optional[str] = None) -> "Graph":
+        """``add_edges_from`` (``graph.py:1014``): union + re-canonicalize;
+        duplicate edges keep the NEW weight (last-write-wins, matching the
+        reference's dict update)."""
+        cols = edges.columns
+        w = (F.col(weight) if weight else
+             (F.col(WEIGHT) if WEIGHT in cols else F.lit(1.0)))
+        new = edges.select(F.col(cols[0]).alias(SRC), F.col(cols[1]).alias(DST),
+                           w.cast("double").alias(WEIGHT))
+        if not self.directed:
+            new = new.select(F.least(SRC, DST).alias(SRC),
+                             F.greatest(SRC, DST).alias(DST), WEIGHT)
+        new = new.dropDuplicates([SRC, DST])
+        kept = self._edges.join(new.select(SRC, DST), [SRC, DST], "anti")
+        return self._carry(kept.unionByName(new), vertices=self._extra_vertices)
+
+    def remove_edges(self, edges: DataFrame) -> "Graph":
+        """``remove_edges_from`` (``graph.py:1305``): endpoints stay as
+        (possibly isolated) vertices, like the reference."""
+        cols = edges.columns
+        keys = edges.select(F.col(cols[0]).alias(SRC), F.col(cols[1]).alias(DST))
+        if not self.directed:
+            keys = keys.select(F.least(SRC, DST).alias(SRC),
+                               F.greatest(SRC, DST).alias(DST))
+        v = self.vertices()
+        return self._carry(self._edges.join(keys, [SRC, DST], "anti"), vertices=v)
+
+    def add_vertices(self, vertices: DataFrame) -> "Graph":
+        """``add_nodes_from`` (``graph.py:644``)."""
+        v = vertices.select(F.col(vertices.columns[0]).alias(ID))
+        allv = v if self._extra_vertices is None else self._extra_vertices.unionByName(v)
+        return self._carry(self._edges, vertices=allv)
+
+    def remove_vertices(self, vertices: DataFrame) -> "Graph":
+        """``remove_nodes_from`` (``graph.py:760``): incident edges go too."""
+        v = vertices.select(F.col(vertices.columns[0]).alias(ID))
+        keep = self.vertices().join(v, ID, "anti")
+        e = (self._edges
+             .join(keep.withColumnRenamed(ID, SRC), SRC, "semi")
+             .join(keep.withColumnRenamed(ID, DST), DST, "semi"))
+        return self._carry(e, vertices=keep)
+
+    def relabel(self, mapping: DataFrame) -> "Graph":
+        """``relabel_nodes`` (``networkx/relabel.py:10``): ``mapping(old,
+        new)``; ids absent from the mapping keep their label.  Merging two
+        old ids onto one new id collapses them (the reference's behaviour
+        with ``copy=True``); parallel edges created by the merge combine
+        by max weight (deterministic)."""
+        m = mapping.select(F.col(mapping.columns[0]).alias("_o"),
+                           F.col(mapping.columns[1]).alias("_n"))
+        e = (self._edges
+             .join(m.withColumnRenamed("_o", SRC), SRC, "left")
+             .withColumn(SRC, F.coalesce("_n", SRC)).drop("_n")
+             .join(m.withColumnRenamed("_o", DST), DST, "left")
+             .withColumn(DST, F.coalesce("_n", DST)).drop("_n"))
+        v = (self.vertices().join(m.withColumnRenamed("_o", ID), ID, "left")
+             .select(F.coalesce("_n", ID).alias(ID)).distinct())
+        return Graph.from_edges(e, directed=self.directed, weight=WEIGHT,
+                                vertices=v, combine="max")
+
     # -------------------------------------------------------------- attributes
     def _carry(self, edges: DataFrame, directed: Optional[bool] = None,
                vertices: Optional[DataFrame] = None) -> "Graph":

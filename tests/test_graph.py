@@ -102,3 +102,34 @@ def test_empty_graph(spark):
     assert g.number_of_vertices() == 0
     assert g.number_of_edges() == 0
     assert g.density() == 0.0
+
+
+def test_functional_mutation(spark):
+    from pyspark.sql import functions as F
+    g = Graph.from_edge_list(spark, [("a", "b", 1.0)], directed=False)
+    g2 = g.add_edges(spark.createDataFrame(
+        [("b", "c", 2.0), ("b", "a", 9.0)], "src string, dst string, weight double"),
+        weight="weight")
+    got = {(r.src, r.dst): r.weight for r in g2.edges.collect()}
+    assert got == {("a", "b"): 9.0, ("b", "c"): 2.0}   # new weight wins
+    g3 = g2.remove_edges(spark.createDataFrame([("c", "b")], "src string, dst string"))
+    assert {(r.src, r.dst) for r in g3.edges.collect()} == {("a", "b")}
+    assert g3.has_vertex("c")                          # endpoint survives
+    g4 = g3.remove_vertices(spark.createDataFrame([("a",)], "id string"))
+    assert g4.number_of_edges() == 0
+    assert {r.id for r in g4.vertices().collect()} == {"b", "c"}
+    g5 = g4.add_vertices(spark.createDataFrame([("z",)], "id string"))
+    assert g5.has_vertex("z")
+    # original snapshot untouched
+    assert g.number_of_edges() == 1
+
+
+def test_relabel(spark):
+    g = Graph.from_edge_list(spark, [("a", "b", 1.0), ("b", "c", 5.0)],
+                             directed=False)
+    m = spark.createDataFrame([("a", "x"), ("c", "x")], "old string, new string")
+    r = g.relabel(m)
+    got = {(r_.src, r_.dst): r_.weight for r_ in r.edges.collect()}
+    # a and c merge onto x; parallel (x,b) edges combine by max
+    assert got == {("b", "x"): 5.0}
+    assert {v.id for v in r.vertices().collect()} == {"b", "x"}
