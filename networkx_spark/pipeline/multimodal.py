@@ -1,15 +1,19 @@
 """Multimodal (image/audio/video) column plumbing.
 
-Media travel as opaque ``binary`` columns with a typed metadata struct —
-the Spark-side concerns (schema, Arrow batch shape, partition sizing, UDF
-signatures) are real and tested; the actual codec work is stubbed because
-the image/audio libraries are not in this container:
+Media travel as opaque ``binary`` columns with a typed metadata struct.
+The Spark-side concerns (schema, Arrow batch shape, partition sizing, UDF
+signatures) are real and tested, and so is decoding for the
+**container-free formats a pure-numpy parser can handle**:
 
-* ``decoder='stub'`` raises :class:`NotImplementedError` listing the
-  library that would be used (Pillow / soundfile / pyav),
-* ``decoder='fake'`` is a deterministic pure-numpy stand-in (hash-seeded
-  pixels / samples) so the downstream plumbing — batching, feature shapes,
-  resize geometry, frame sampling cadence — is fully exercised.
+* ``codec='ppm'`` — binary PPM (P6) images: header parse + uint8 plane,
+* ``codec='wav'`` — RIFF/PCM16 mono audio: 44-byte header + int16 frames,
+* ``codec='fake'`` — deterministic hash-seeded stand-in (tests).
+
+Compressed codecs (jpeg/png/mp3/h264 …) would require Pillow / soundfile /
+pyav, which are not in this container — ``decoder='stub'`` (or an
+unsupported codec under ``decoder='native'``) raises
+:class:`NotImplementedError` naming the library, so the gap is explicit
+rather than silently faked.
 
 At 100 TB the rule encoded here: media bytes stay in their Arrow batch end
 to end (no per-row Python calls, no driver round-trips), and each operator
@@ -30,23 +34,61 @@ MEDIA_SCHEMA = ("media_id long, kind string, payload binary, "
                 "meta struct<width:int, height:int, sample_rate:int, "
                 "duration_ms:int, codec:string>")
 _LIBS = {"image": "Pillow", "audio": "soundfile", "video": "pyav"}
+_NATIVE = {"ppm", "wav", "fake"}
 
 
-def synthesize_media(spark, n: int, kind: str = "image", seed: int = 42) -> DataFrame:
-    """Deterministic opaque payloads + plausible metadata (for tests)."""
+# ------------------------------------------------------------ pure-numpy codecs
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """HxWx3 uint8 → binary PPM (P6)."""
+    h, w, _ = arr.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.astype(np.uint8).tobytes()
 
-    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for i in pdf["id"]:
-                rng = np.random.default_rng([seed, int(i)])
-                payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
-                rows.append((int(i), kind, payload,
-                             (64 + int(i) % 128, 64 + int(i) % 64, 16_000,
-                              1000 + int(i) % 9000, "fake")))
-            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
 
-    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+def decode_ppm(b: bytes) -> np.ndarray:
+    """Binary PPM (P6) → HxWx3 uint8 (whitespace-separated header)."""
+    if not b.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if b[pos : pos + 1] == b"#":                      # comment line
+            pos = b.index(b"\n", pos) + 1
+            continue
+        end = pos
+        while end < len(b) and not b[end : end + 1].isspace():
+            end += 1
+        fields.append(int(b[pos:end]))
+        pos = end
+    pos += 1                                              # single ws after maxval
+    w, h, maxval = fields
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    return np.frombuffer(b, dtype=np.uint8, count=h * w * 3, offset=pos).reshape(h, w, 3)
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """int16 mono samples → minimal RIFF/PCM16 WAV."""
+    data = samples.astype("<i2").tobytes()
+    n = len(data)
+    import struct
+    hdr = (b"RIFF" + struct.pack("<I", 36 + n) + b"WAVEfmt " +
+           struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16) +
+           b"data" + struct.pack("<I", n))
+    return hdr + data
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """Minimal RIFF/PCM16 mono WAV → (int16 samples, sample_rate)."""
+    import struct
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt, ch, rate = struct.unpack("<HHI", b[20:28])
+    bits = struct.unpack("<H", b[34:36])[0]
+    if (fmt, ch, bits) != (1, 1, 16):
+        raise ValueError("only PCM16 mono supported")
+    n = struct.unpack("<I", b[40:44])[0]
+    return np.frombuffer(b, dtype="<i2", count=n // 2, offset=44), rate
 
 
 def _fake_decode(payload: bytes, shape: tuple[int, ...]) -> np.ndarray:
@@ -54,47 +96,112 @@ def _fake_decode(payload: bytes, shape: tuple[int, ...]) -> np.ndarray:
     return rng.random(shape, dtype=np.float32)
 
 
+def _decode_plane(kind: str, codec: str, payload: bytes,
+                  meta) -> np.ndarray:
+    """Decode to a float32 plane: image → HxW gray [0,1]; audio → samples
+    [-1,1]."""
+    if codec == "ppm":
+        return decode_ppm(bytes(payload)).mean(axis=2).astype(np.float32) / 255.0
+    if codec == "wav":
+        s, _ = decode_wav(bytes(payload))
+        return s.astype(np.float32) / 32768.0
+    if codec == "fake":
+        if kind == "audio":
+            return _fake_decode(bytes(payload), (1024,))
+        return _fake_decode(bytes(payload),
+                            (int(meta["height"]), int(meta["width"])))
+    raise NotImplementedError(
+        f"codec {codec!r} needs {_LIBS.get(kind, '?')} which is not installed "
+        f"in this environment (native codecs: {sorted(_NATIVE)})")
+
+
+# -------------------------------------------------------------------- synthesis
+def synthesize_media(spark, n: int, kind: str = "image", seed: int = 42,
+                     codec: str | None = None) -> DataFrame:
+    """Deterministic payloads + metadata.  Default codec is the REAL
+    native format per kind (image→ppm, audio→wav, video→fake)."""
+    codec = codec or {"image": "ppm", "audio": "wav"}.get(kind, "fake")
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng([seed, i])
+                w, h = 64 + i % 128, 64 + i % 64
+                rate, dur = 16_000, 1000 + i % 9000
+                if codec == "ppm":
+                    payload = encode_ppm(
+                        rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8))
+                elif codec == "wav":
+                    ns = rate * dur // 1000
+                    payload = encode_wav(
+                        rng.integers(-2000, 2000, size=ns).astype(np.int16), rate)
+                else:
+                    payload = rng.integers(0, 256, size=256, dtype=np.uint8).tobytes()
+                rows.append((i, kind, payload, (w, h, rate, dur, codec)))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+# -------------------------------------------------------------------- operators
+def _pool(plane: np.ndarray, dim: int) -> np.ndarray:
+    """Mean-pool a 1-D/2-D plane to a fixed-width feature vector."""
+    flat = plane.ravel().astype(np.float32)
+    if len(flat) < dim:
+        flat = np.resize(flat, dim)
+    cut = (len(flat) // dim) * dim
+    return flat[:cut].reshape(dim, -1).mean(axis=1)
+
+
 def decode_features(media: DataFrame, decoder: str = "stub",
                     feature_dim: int = 16) -> DataFrame:
     """(media_id, features array<float>): decode → pooled feature vector.
 
-    The Arrow plumbing (mapInPandas, fixed-width output, blob dropped after
-    decode) is the real engine contract; the decode kernel is stubbed."""
+    ``decoder='native'`` really decodes ppm/wav payloads (pure numpy);
+    ``'fake'`` forces the hash-seeded stand-in; ``'stub'`` raises, naming
+    the library a compressed codec would need."""
     if decoder == "stub":
         kinds = [r["kind"] for r in media.select("kind").distinct().collect()]
         libs = ", ".join(_LIBS.get(k, "?") for k in kinds)
         raise NotImplementedError(
-            f"media decoding requires {libs} which are not installed in this "
-            f"environment; use decoder='fake' for the deterministic stand-in")
-    if decoder != "fake":
+            f"compressed-media decoding requires {libs} which are not installed "
+            f"in this environment; use decoder='native' (ppm/wav) or 'fake'")
+    if decoder not in ("native", "fake"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [
-                _fake_decode(bytes(p), (feature_dim,)).tolist()
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for kind, codec_, p, meta in zip(pdf["kind"],
+                                             (m["codec"] for m in pdf["meta"]),
+                                             pdf["payload"], pdf["meta"]):
+                c = "fake" if decoder == "fake" else codec_
+                feats.append(_pool(_decode_plane(kind, c, p, meta),
+                                   feature_dim).tolist())
             yield pd.DataFrame({"media_id": pdf["media_id"], "features": feats})
 
-    return media.select("media_id", "payload").mapInPandas(
+    return media.select("media_id", "kind", "payload", "meta").mapInPandas(
         part, schema="media_id long, features array<float>")
 
 
 def resize_images(media: DataFrame, width: int, height: int,
-                  decoder: str = "fake") -> DataFrame:
-    """(media_id, pixels, width, height): decode + nearest-neighbour resize
-    on the fake decode plane — geometry math is real, codec is not."""
+                  decoder: str = "native") -> DataFrame:
+    """(media_id, pixels, width, height): decode + nearest-neighbour
+    resize.  Real pixels for ppm payloads; ``'fake'`` uses the stand-in
+    plane."""
     if decoder == "stub":
-        raise NotImplementedError("image resize requires Pillow (not installed); "
-                                  "use decoder='fake'")
+        raise NotImplementedError("compressed-image resize requires Pillow "
+                                  "(not installed); use decoder='native' or 'fake'")
 
     def part(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
             for mid, p, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
-                w0, h0 = int(meta["width"]), int(meta["height"])
-                img = _fake_decode(bytes(p), (h0, w0))
+                c = "fake" if decoder == "fake" else meta["codec"]
+                img = _decode_plane("image", c, p, meta)
+                h0, w0 = img.shape
                 yi = (np.arange(height) * h0 // height)
                 xi = (np.arange(width) * w0 // width)
                 small = img[np.ix_(yi, xi)]
@@ -108,7 +215,8 @@ def resize_images(media: DataFrame, width: int, height: int,
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   decoder: str = "fake") -> DataFrame:
     """(media_id, frame_idx, ts_ms): frame-sampling cadence from metadata —
-    one row per sampled frame, payload decoded per frame in the fake path."""
+    one row per sampled frame (video containers need pyav, so only the
+    cadence math is real here)."""
     if decoder == "stub":
         raise NotImplementedError("video decoding requires pyav (not installed); "
                                   "use decoder='fake'")

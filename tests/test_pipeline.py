@@ -185,3 +185,47 @@ def test_multimodal_plumbing(spark):
     meta = {r.media_id: r.meta.duration_ms for r in vids.collect()}
     for mid, c in counts.items():
         assert c == meta[mid] // 1000
+
+
+def test_multimodal_native_codecs(spark):
+    from networkx_spark.pipeline.multimodal import (decode_features, decode_ppm,
+                                                    decode_wav, encode_ppm,
+                                                    encode_wav, resize_images,
+                                                    synthesize_media)
+    # pure-numpy codec roundtrips
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    assert (decode_ppm(encode_ppm(img)) == img).all()
+    samples = (np.sin(np.linspace(0, 10, 1600)) * 1000).astype(np.int16)
+    dec, rate = decode_wav(encode_wav(samples, 16_000))
+    assert rate == 16_000 and (dec == samples).all()
+
+    # native decode over Spark: real PPM pixels end to end
+    media = synthesize_media(spark, 6, kind="image").cache()   # codec=ppm
+    assert media.select("meta.codec").distinct().collect()[0][0] == "ppm"
+    f1 = {r.media_id: tuple(r.features) for r in
+          decode_features(media, decoder="native", feature_dim=8).collect()}
+    f2 = {r.media_id: tuple(r.features) for r in
+          decode_features(media.repartition(4), decoder="native",
+                          feature_dim=8).collect()}
+    assert f1 == f2 and all(0.0 <= v <= 1.0 for t in f1.values() for v in t)
+
+    # resize on a known gradient: top-left darker than bottom-right
+    grad = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 3, 1)
+                   ).transpose(0, 2, 1)
+    row = [(0, "image", bytearray(encode_ppm(grad)),
+            (64, 32, 0, 0, "ppm"))]
+    one = spark.createDataFrame(
+        row, ("media_id long, kind string, payload binary, "
+              "meta struct<width:int,height:int,sample_rate:int,"
+              "duration_ms:int,codec:string>"))
+    px = resize_images(one, 4, 4, decoder="native").collect()[0].pixels
+    assert px[0] < px[3]                                   # gradient preserved
+
+    # audio: real WAV samples pooled
+    wavs = synthesize_media(spark, 3, kind="audio")
+    fa = decode_features(wavs, decoder="native", feature_dim=4).collect()
+    assert all(len(r.features) == 4 for r in fa)
+    # unsupported codec under native → explicit NotImplementedError
+    jpg = synthesize_media(spark, 2, kind="image", codec="jpeg")
+    with pytest.raises(Exception):
+        decode_features(jpg, decoder="native").collect()
