@@ -68,12 +68,79 @@ def stream_pages_to_edges(spark, pages_path: str) -> DataFrame:
     return pages.select("url", "html").mapInPandas(batches, "src string, dst string")
 
 
-def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete") -> None:
+def run_to_memory(stream_df: DataFrame, name: str, mode: str = "complete",
+                  checkpoint: str | None = None) -> None:
     """Drive a (bounded file-source) stream to completion into a memory
     sink — the test/smoke harness.  ``mode='complete'`` for windowed
     aggregations (append would hold rows until the watermark passes, which
-    a bounded replay never does); ``'append'`` for stateless transforms."""
-    q = (stream_df.writeStream.outputMode(mode)
-         .format("memory").queryName(name).trigger(availableNow=True).start())
+    a bounded replay never does); ``'append'`` for stateless transforms;
+    ``'update'`` for stateful operators.  Passing ``checkpoint`` makes
+    state durable across repeated calls (restart-resume tests)."""
+    w = stream_df.writeStream.outputMode(mode)
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.format("memory").queryName(name).trigger(availableNow=True).start()
     q.processAllAvailable()
     q.stop()
+
+
+DOCS_STREAM_SCHEMA = "doc_id long, ts timestamp, text string"
+
+
+def streaming_exact_dedup(spark, docs_path: str,
+                          watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup: first document per normalized-content hash
+    survives; state is bounded by the watermark horizon
+    (``dropDuplicatesWithinWatermark`` — late duplicates beyond it are the
+    documented trade-off, same as any streaming dedup at scale)."""
+    d = spark.readStream.schema(DOCS_STREAM_SCHEMA).parquet(docs_path)
+    hashed = d.select(
+        "doc_id", "ts",
+        F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+        .alias("content_hash"))
+    return (hashed.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["content_hash"]))
+
+
+def streaming_running_degrees(spark, edges_path: str) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    out-degree per ``src`` across micro-batches.  Per-group state is one
+    long; restarts resume from the checkpoint, so the running totals are
+    exactly-once with respect to the file source."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    e = spark.readStream.schema("src string, dst string, ts timestamp").parquet(edges_path)
+
+    def update(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"src": [key[0]], "out_degree": [total]})
+
+    return (e.groupBy("src")
+            .applyInPandasWithState(update,
+                                    outputStructType="src string, out_degree long",
+                                    stateStructType="total long",
+                                    outputMode="update",
+                                    timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def run_collect(stream_df: DataFrame, checkpoint: str) -> list:
+    """Drive a bounded stream via ``foreachBatch`` and return the emitted
+    rows.  Unlike the memory sink, ``foreachBatch`` supports resuming from
+    ``checkpoint`` — the restart/exactly-once test path for stateful
+    operators."""
+    rows: list = []
+
+    def sink(batch_df, _batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (stream_df.writeStream.foreachBatch(sink)
+         .option("checkpointLocation", checkpoint)
+         .outputMode("update").trigger(availableNow=True).start())
+    q.processAllAvailable()
+    q.stop()
+    return rows

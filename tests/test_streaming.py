@@ -48,3 +48,43 @@ def test_streaming_edges_and_degrees(spark, tmp_path):
     deg = streaming_degree_updates(spark, edges_dir, window="1 hour")
     run_to_memory(deg, "deg_updates", mode="complete")
     assert spark.sql("select sum(degree_delta) from deg_updates").collect()[0][0] == 120
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    import pandas as pd
+    from networkx_spark.streaming.stream import run_to_memory, streaming_exact_dedup
+    src = tmp_path / "docs"
+    src.mkdir()
+    pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "ts": pd.to_datetime(["2025-01-01 00:00"] * 3).astype("datetime64[us]"),
+        "text": ["hello world", "Hello   WORLD", "other text"],
+    }).to_parquet(src / "a.parquet")
+    out = streaming_exact_dedup(spark, str(src))
+    run_to_memory(out, "dedup_t", mode="append")
+    rows = spark.sql("SELECT * FROM dedup_t").collect()
+    # 1 and 2 share a normalized hash -> exactly one survives
+    hashes = [r.content_hash for r in rows]
+    assert len(rows) == 2 and len(set(hashes)) == 2
+
+
+def test_streaming_running_degrees_stateful_across_restart(spark, tmp_path):
+    import pandas as pd
+    from networkx_spark.streaming.stream import (run_to_memory,
+                                                 streaming_running_degrees)
+    src = tmp_path / "edges"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    ts = pd.to_datetime(["2025-01-01"] * 3).astype("datetime64[us]")
+    pd.DataFrame({"src": ["a", "a", "b"], "dst": ["x", "y", "z"],
+                  "ts": ts}).to_parquet(src / "b1.parquet")
+    from networkx_spark.streaming.stream import run_collect
+    out = streaming_running_degrees(spark, str(src))
+    first = {r.src: r.out_degree for r in run_collect(out, ck)}
+    assert first == {"a": 2, "b": 1}
+    # new file after "restart": totals must RESUME from checkpointed state
+    pd.DataFrame({"src": ["a", "c"], "dst": ["z", "z"],
+                  "ts": ts[:2]}).to_parquet(src / "b2.parquet")
+    out2 = streaming_running_degrees(spark, str(src))
+    second = {r.src: r.out_degree for r in run_collect(out2, ck)}
+    assert second == {"a": 3, "c": 1}      # only updated groups emitted
