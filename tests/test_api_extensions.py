@@ -165,3 +165,35 @@ def test_to_directed_and_neighbors(spark):
     assert {r.id for r in dg.successors("1").collect()} == {"2"}
     assert {r.id for r in dg.predecessors("2").collect()} == {"1", "3"}
     assert {r.id for r in dg.neighbors("1").collect()} == {"2"}
+
+
+# -------------------------------------------------------------- converters
+def test_dict_converters_roundtrip(spark):
+    import networkx as nx
+    from networkx_spark.convert import (from_dict_of_dicts, from_dict_of_lists,
+                                        to_dict_of_dicts, to_dict_of_lists)
+    g = Graph.from_edge_list(spark, [("a", "b", 2.0), ("b", "c", 1.0)],
+                             directed=False, nodes=["z"])
+    dd = to_dict_of_dicts(g)
+    G = nx.Graph(); G.add_weighted_edges_from([("a", "b", 2.0), ("b", "c", 1.0)])
+    G.add_node("z")
+    assert dd == nx.to_dict_of_dicts(G)
+    g2 = from_dict_of_dicts(spark, dd, directed=False)
+    assert {(r.src, r.dst, r.weight) for r in g2.edges.collect()} == \
+        {(r.src, r.dst, r.weight) for r in g.edges.collect()}
+    dl = to_dict_of_lists(g)
+    assert dl == {k: sorted(v) for k, v in nx.to_dict_of_lists(G).items()}
+    g3 = from_dict_of_lists(spark, dl, directed=False)
+    assert g3.number_of_edges() == 2 and g3.has_vertex("z")
+
+
+def test_numpy_converters_roundtrip(spark):
+    import numpy as np
+    from networkx_spark.convert import from_numpy_array, to_numpy_array
+    a = np.array([[0.0, 2.0, 0.0], [0.0, 0.0, 1.0], [3.0, 0.0, 0.0]])
+    g = from_numpy_array(spark, a, directed=True)
+    b, nodes = to_numpy_array(g)
+    order = np.argsort([int(n) for n in nodes])
+    assert (b[np.ix_(order, order)] == a).all()
+    with __import__("pytest").raises(ValueError):
+        to_numpy_array(g, cap=1)
