@@ -234,6 +234,29 @@ FROM hf{iters} hf JOIN af{iters} af USING (id)""")
 SQL_HITS = _hits_sql()
 
 
+# ------------------------------------------------------------------ graph: bfs
+def q_bfs(spark, sf_dir):
+    """Unweighted single-source distances from vertex 0 on the undirected
+    derived graph (``single_source_shortest_path_length`` semantics)."""
+    from networkx_spark.algorithms.bfs import bfs_distances
+    g = derived_graph(spark, sf_dir, directed=False)
+    return (bfs_distances(g, 0)
+            .select("id", F.col("distance").cast("long").alias("distance")))
+
+
+SQL_BFS = f"""
+WITH RECURSIVE u AS MATERIALIZED ({UEDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM u UNION ALL SELECT dst, src FROM u),
+walk(id, d) AS (
+    SELECT 0, 0
+    UNION
+    SELECT s.dst, walk.d + 1 FROM walk JOIN sym s ON s.src = walk.id
+    WHERE walk.d < 64
+)
+SELECT id, min(d)::BIGINT AS distance FROM walk GROUP BY id
+"""
+
+
 # ------------------------------------------------------------------ graph: scc
 def q_scc(spark, sf_dir):
     from networkx_spark.algorithms.scc import strongly_connected_components
@@ -678,6 +701,8 @@ GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file
 
 SQL_LPA_GOLDEN = (f"SELECT id, label FROM "
                   f"read_parquet('{GOLDEN_DIR}/label_propagation_web400.parquet')")
+SQL_ASYN_LPA_GOLDEN = (f"SELECT id, label FROM "
+                       f"read_parquet('{GOLDEN_DIR}/asyn_lpa_web400.parquet')")
 SQL_WEB_EXTRACTION_GOLDEN = (f"SELECT src, dst FROM "
                              f"read_parquet('{GOLDEN_DIR}/web_extraction_500.parquet')")
 
@@ -732,6 +757,13 @@ def q_lpa(spark, sf_dir):
     return label_propagation_communities(_web_graph(spark, directed=False))
 
 
+def q_asyn_lpa(spark, sf_dir):
+    """Seeded asynchronous LPA (seed=7) — hash-seeded tie-breaks make the
+    outcome a pure function of (graph, seed), pinned by the golden."""
+    from networkx_spark.algorithms.label_propagation import asyn_lpa_communities
+    return asyn_lpa_communities(_web_graph(spark, directed=False), seed=7)
+
+
 def q_web_extraction(spark, sf_dir):
     from networkx_spark.extract import edges_from_pages
     from networkx_spark.generators import synthesize_pages
@@ -740,7 +772,9 @@ def q_web_extraction(spark, sf_dir):
 
 QUERIES.update({
     "label_propagation": (q_lpa, SQL_LPA_GOLDEN),
+    "asyn_lpa": (q_asyn_lpa, SQL_ASYN_LPA_GOLDEN),
     "web_extraction": (q_web_extraction, SQL_WEB_EXTRACTION_GOLDEN),
+    "bfs_distances": (q_bfs, SQL_BFS),
 })
 
 # all operators now carry an oracle (SQL twin or committed golden snapshot)

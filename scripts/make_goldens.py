@@ -19,12 +19,14 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    from networkx_spark.entry_queries import GOLDEN_DIR, q_lpa, q_web_extraction
+    from networkx_spark.entry_queries import (GOLDEN_DIR, q_asyn_lpa, q_lpa,
+                                              q_web_extraction)
     from networkx_spark.session import get_spark
 
     spark = get_spark("make-goldens", cores=8, shuffle_partitions=8)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     for name, fn in [("label_propagation_web400", q_lpa),
+                     ("asyn_lpa_web400", q_asyn_lpa),
                      ("web_extraction_500", q_web_extraction)]:
         # single file, no partitioning — a stable, reviewable snapshot
         df = fn(spark, "")
