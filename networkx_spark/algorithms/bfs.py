@@ -7,17 +7,20 @@ unweighted shortest-path layer
 (SURVEY §2.3); distances come out exact because every superstep visits the
 full next level at once.
 
-Scale posture: each level cuts ONLY the new frontier (O(level size) write),
-never the accumulated visited set — the visited view is a lazy union of the
-per-level parquet snapshots, so total state I/O is O(V) over the whole
-traversal instead of O(V · diameter).
+Scale posture: the visited set is ONE cumulative ``(id, distance)`` state
+table rewritten per level (hash-min-CC style) — the anti-join that prunes
+already-seen vertices scans a single parquet relation instead of a union of
+per-level snapshots whose plan (and file count) grows with depth.  Web
+graphs have ~10-hop diameters, so the O(V·depth) state I/O is bounded; the
+new-frontier cardinality rides the state write as an observed metric
+(CollectMetrics) — ONE Spark job per level, no separate count job.  The
+adjacency is cached pre-partitioned on the join key, so each level shuffles
+only the frontier.
 """
 
 from __future__ import annotations
 
-from functools import reduce
-
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, ID
@@ -40,30 +43,32 @@ def bfs_distances(g: Graph, source, max_depth: int = 10_000) -> DataFrame:
     spark = g.edges.sparkSession
     if not g.has_vertex(source):
         raise NodeNotFound(f"Source {source!r} is not in G")
-    adj = g.symmetrized().select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"))
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = (g.symmetrized().select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"))
+           .repartition(n_part, ID).cache())
     src_type = g.edges.schema[SRC].dataType.simpleString()
     seed = str(source) if src_type == "string" else source
-    # keep_scratch=0: every level's snapshot stays referenced by the final
-    # union — rotation would delete files still backing the result
-    runner = SuperstepRunner(None, name="bfs", keep_scratch=0)
+    runner = SuperstepRunner(None, name="bfs")
     try:
-        frontier = runner.cut(
+        visited = runner.cut(
             spark.createDataFrame([(seed, 0)], f"id {src_type}, distance int"))
-        levels = [frontier]
-        visited = frontier
+        frontier = visited
         for d in range(1, max_depth + 1):
             nxt = (frontier.join(adj, ID)
                    .select(F.col("nbr").alias(ID)).distinct()
                    .join(visited.select(ID), ID, "anti")
-                   .withColumn("distance", F.lit(d)))
-            nxt = runner.cut(nxt)
-            if nxt.count() == 0:
+                   .select(ID, F.lit(d).alias("distance"), F.lit(1).alias("_new")))
+            obs = Observation()
+            visited = runner.cut(
+                visited.withColumn("_new", F.lit(0)).unionByName(nxt)
+                .observe(obs, F.sum("_new").alias("n")).drop("_new"))
+            if int(obs.get["n"] or 0) == 0:
                 break
-            levels.append(nxt)
-            visited = reduce(DataFrame.unionByName, levels)
-            frontier = nxt
+            # distance pushdown prunes the new frontier out of the snapshot
+            frontier = visited.filter(F.col("distance") == d)
         return visited
     finally:
+        adj.unpersist()
         runner.close()
 
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, ID
@@ -58,7 +58,8 @@ def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
     else:
         nbrs = nbrs.repartition(n_part, ID).cache()
     labels = vertices.select(ID, F.col(ID).alias("component"))
-    start = 0
+    n = vertices.count()          # constant state cardinality: skip the
+    start = 0                     # per-superstep count job in checkpoint()
     if resume:
         step, saved = runner.latest(spark)
         if saved is not None:
@@ -73,12 +74,19 @@ def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
             nbr_min = (lab.join(nbrs, join_keys)
                        .groupBy(F.col("nbr").alias(ID))
                        .agg(F.min("component").alias("_nc")))
+            # the change count rides the checkpoint write as an observed
+            # metric (CollectMetrics) — ONE Spark job per superstep, no
+            # separate join+count pass, and ``_chg`` never hits parquet
             new = (labels.join(nbr_min, ID, "left")
                    .select(ID, F.least(F.col("component"),
-                                       F.coalesce("_nc", F.col("component"))).alias("component")))
-            new = runner.checkpoint(new, it, extra={"algorithm": "connected_components"})
-            changed = (new.join(labels.withColumnRenamed("component", "_prev"), ID)
-                       .filter(F.col("component") != F.col("_prev")).count())
+                                       F.coalesce("_nc", F.col("component"))).alias("component"),
+                           (F.coalesce("_nc", F.col("component"))
+                            < F.col("component")).cast("long").alias("_chg")))
+            obs = Observation()
+            new = runner.checkpoint(
+                new.observe(obs, F.sum("_chg").alias("chg")).drop("_chg"),
+                it, rows=n, extra={"algorithm": "connected_components"})
+            changed = int(obs.get["chg"] or 0)
             runner.update_last(residual=float(changed), changed=changed)
             labels = new
             if changed == 0:

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from typing import Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, WEIGHT, ID
@@ -73,8 +73,16 @@ def hits(g: Graph, max_iter: int = 100, tol: float | None = 1.0e-8,
             # pathologically slow after ~10 supersteps (measured).  The
             # residual join below is terminal (collected), not iterated.
             state = a.join(h_new, ID).select(ID, "hub", "authority")
-            state = runner.checkpoint(state, it, rows=n, extra={"algorithm": "hits"})
-            mx = state.agg(F.max("hub").alias("hm"), F.max("authority").alias("am")).collect()[0]
+            # the 1/max normalization scalars ride the checkpoint write as
+            # observed metrics (CollectMetrics, like pagerank.py): the
+            # separate max-agg job per superstep is gone — ≤2 jobs per
+            # superstep (1 when tol is None), down from 3
+            obs = Observation()
+            state = runner.checkpoint(
+                state.observe(obs, F.max("hub").alias("hm"),
+                              F.max("authority").alias("am")),
+                it, rows=n, extra={"algorithm": "hits"})
+            mx = obs.get
             hmax, amax = (mx["hm"] or 1.0), (mx["am"] or 1.0)
             state = state.select(ID, (F.col("hub") / F.lit(hmax)).alias("hub"),
                                  (F.col("authority") / F.lit(amax)).alias("authority"))

@@ -1,0 +1,123 @@
+"""Weighted single-source shortest paths as relax-join supersteps.
+
+Reference: ``networkx/algorithms/shortest_paths/weighted.py:321``
+(``single_source_dijkstra_path_length``) and ``:1237``
+(``single_source_bellman_ford_path_length``) — both return
+``{node: distance}`` for every vertex reachable from the source.
+
+Dijkstra's priority queue is inherently sequential; the distributed
+formulation here is **frontier-pruned Bellman-Ford** (the relax-join
+analogue of delta-stepping with a single bucket): every superstep relaxes
+all out-edges of the vertices whose tentative distance improved last
+superstep — ``min(dist + w)`` per target — and merges the result into the
+state with ``least``.  At fixpoint the state equals Dijkstra's output
+exactly (non-negative weights ⇒ Bellman-Ford and Dijkstra agree).
+Supersteps needed = max hop count over all shortest paths, which on
+short-diameter web graphs is small; each superstep is one shuffle join
+(frontier ⋈ edges, the edge side cached pre-partitioned on ``src`` so only
+the frontier shuffles) + one min-aggregation + the state merge, with the
+changed-count observed on the checkpoint write (ONE job per superstep,
+same pattern as pagerank.py / components.py).
+
+Negative weights: ``single_source_dijkstra_path_length`` raises on
+negative weights in practice (``weighted.py:115`` documents the
+contradictory-paths hazard); here a single pre-scan rejects them unless
+``allow_negative=True``, in which case the loop is plain Bellman-Ford and
+a failure to converge within ``max_iter`` supersteps (default |V|) raises
+— the distributed analogue of the reference's negative-cycle error
+(``weighted.py:1285``).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from networkx_spark.graph import Graph, SRC, DST, WEIGHT, ID
+from networkx_spark.superstep import SuperstepRunner, fixed_plan
+from networkx_spark.algorithms.bfs import NodeNotFound
+
+
+def sssp_distances(g: Graph, source, weight: bool = True,
+                   max_iter: Optional[int] = None,
+                   allow_negative: bool = False,
+                   checkpoint_dir: Optional[str] = None,
+                   checkpoint_interval: int = 1) -> DataFrame:
+    """(id, distance) for every vertex reachable from ``source`` —
+    ``single_source_dijkstra_path_length`` semantics (reachable-only
+    output, ``weighted.py:321``).  ``weight=False`` treats every edge as
+    weight 1 (hop counts — matches ``bfs_distances`` on the same graph).
+    Raises :class:`NodeNotFound` when the source is absent
+    (``weighted.py:412-413``)."""
+    spark = g.edges.sparkSession
+    if not g.has_vertex(source):
+        raise NodeNotFound(f"Source {source!r} is not in G")
+    wcol = F.col(WEIGHT).cast("double") if weight else F.lit(1.0)
+    adj = g.symmetrized().select(SRC, DST, wcol.alias("_w"))
+    if weight and not allow_negative:
+        mn = adj.agg(F.min("_w")).collect()[0][0]
+        if mn is not None and mn < 0:
+            raise ValueError(
+                "negative edge weights: Dijkstra semantics undefined "
+                "(reference weighted.py:115); pass allow_negative=True for "
+                "Bellman-Ford")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = adj.repartition(n_part, SRC).cache()
+
+    src_type = g.edges.schema[SRC].dataType.simpleString()
+    seed = str(source) if src_type == "string" else source
+    if max_iter is None:
+        max_iter = max(16, g.number_of_vertices())
+
+    runner = SuperstepRunner(checkpoint_dir, name="sssp_state",
+                             interval=checkpoint_interval)
+    try:
+      with fixed_plan(spark):
+        # state: (id, distance, improved) — improved marks last superstep's
+        # frontier; it stays in the snapshot so resume/frontier selection is
+        # a pushed-down filter, one byte per row
+        state = runner.cut(spark.createDataFrame(
+            [(seed, 0.0, True)],
+            f"id {src_type}, distance double, improved boolean"))
+        for it in range(max_iter):
+            frontier = state.filter("improved").select(ID, "distance")
+            cand = (frontier.join(adj, frontier[ID] == adj[SRC])
+                    .groupBy(F.col(DST).alias(ID))
+                    .agg(F.min(F.col("distance") + F.col("_w")).alias("_nd")))
+            merged = (state.select(ID, "distance").join(cand, ID, "full")
+                      .select(ID,
+                              F.least(F.coalesce("distance", F.lit(float("inf"))),
+                                      F.coalesce("_nd", F.lit(float("inf"))))
+                              .alias("distance"),
+                              (F.col("_nd").isNotNull() &
+                               (F.col("distance").isNull() |
+                                (F.col("_nd") < F.col("distance"))))
+                              .alias("improved")))
+            # changed count AND state cardinality ride the write (the state
+            # grows as vertices become reachable, so rows can't be passed
+            # a-priori like the constant-size pagerank/CC states)
+            obs = Observation()
+            state = runner.checkpoint(
+                merged.observe(obs,
+                               F.sum(F.col("improved").cast("long")).alias("chg"),
+                               F.count(F.lit(1)).alias("rows")),
+                it, rows=-1, extra={"algorithm": "sssp"})
+            changed = int(obs.get["chg"] or 0)
+            runner.update_last(residual=float(changed), changed=changed,
+                               rows=int(obs.get["rows"]))
+            if changed == 0:
+                return state.select(ID, "distance")
+        raise RuntimeError(
+            f"SSSP did not converge within {max_iter} supersteps "
+            "(negative cycle, or raise max_iter)")
+    finally:
+        adj.unpersist()
+        runner.close()
+
+
+def single_source_dijkstra_path_length(g: Graph, source,
+                                       weight: bool = True) -> DataFrame:
+    """Alias matching the reference entry point (``weighted.py:321``)."""
+    return sssp_distances(g, source, weight=weight)

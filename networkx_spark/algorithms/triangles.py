@@ -88,7 +88,18 @@ def triangles(g: Graph, nodes=None) -> DataFrame:
     included (``cluster.py:77`` initializes all counts to 0); ``nodes``
     restricts the output like ``triangles(G, nbunch)`` (``cluster.py:30``).
     The count itself is always computed on the full graph — a triangle's
-    corners need not lie in the nbunch."""
+    corners need not lie in the nbunch.  Raises on directed input like the
+    reference (``@not_implemented_for("directed")``, ``cluster.py:19``);
+    internal callers that legitimately symmetrize (transitivity, the
+    Fagiolo directed clustering) use :func:`_triangle_counts`."""
+    if g.directed:
+        raise ValueError("triangles() is not implemented for directed graphs "
+                         "(reference raises NetworkXNotImplemented); call "
+                         "g.to_undirected() first")
+    return _triangle_counts(g, nodes)
+
+
+def _triangle_counts(g: Graph, nodes=None) -> DataFrame:
     tri = triangle_corners(g)
     corners = (tri.select(F.col("a").alias(ID))
                .union(tri.select(F.col("b").alias(ID)))
@@ -114,7 +125,7 @@ def _tri_and_deg(g: Graph) -> DataFrame:
              .distinct())
     deg = (e.select(F.col(SRC).alias(ID)).union(e.select(F.col(DST).alias(ID)))
            .groupBy(ID).agg(F.count("*").alias("deg")))
-    t = triangles(g)
+    t = _triangle_counts(g)
     return (t.join(deg, ID, "left")
             .select(ID, "triangles", F.coalesce("deg", F.lit(0)).alias("deg")))
 

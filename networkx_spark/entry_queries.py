@@ -257,6 +257,70 @@ SELECT id, min(d)::BIGINT AS distance FROM walk GROUP BY id
 """
 
 
+# ------------------------------------------------------- graph: weighted sssp
+SSSP_ITERS = 40    # unrolled relax rounds; fixpoint reached well before
+                   # (measured ≤ 12 at sf0.01), extras are idempotent
+
+
+def q_sssp_weighted(spark, sf_dir):
+    """Weighted single-source distances from vertex 0 on the undirected
+    derived graph (``single_source_dijkstra_path_length`` semantics) with a
+    deterministic integer weight both engines derive arithmetically."""
+    from networkx_spark.algorithms.sssp import sssp_distances
+    e = derived_edges(spark, sf_dir)
+    ue = (e.select(F.least("src", "dst").alias("src"),
+                   F.greatest("src", "dst").alias("dst")).distinct()
+          .withColumn("w", (F.lit(1) + (F.col("src") * 31 + F.col("dst") * 17) % 9)
+                      .cast("double")))
+    g = Graph.from_edges(ue, directed=False, weight="w", combine="max")
+    return (sssp_distances(g, 0)
+            .select("id", F.round("distance", 6).alias("distance")))
+
+
+def _sssp_sql(iters: int = SSSP_ITERS) -> str:
+    """Unrolled Bellman-Ford relaxation — min(dist, min over in-edges of
+    dist+w) per round, rounds past the fixpoint are no-ops."""
+    parts = [f"u AS MATERIALIZED ({UEDGES_SQL})",
+             "w AS MATERIALIZED (SELECT src, dst, "
+             "(1 + (src * 31 + dst * 17) % 9)::DOUBLE AS w FROM u)",
+             "sym AS MATERIALIZED (SELECT src, dst, w FROM w "
+             "UNION ALL SELECT dst, src, w FROM w)",
+             "d0 AS MATERIALIZED (SELECT 0::BIGINT AS id, 0.0::DOUBLE AS d)"]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT id, min(d) AS d FROM ("
+            f"SELECT id, d FROM d{p} UNION ALL "
+            f"SELECT s.dst AS id, d{p}.d + s.w AS d "
+            f"FROM d{p} JOIN sym s ON s.src = d{p}.id) GROUP BY id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(d, 6) AS distance FROM d{iters}")
+
+
+SQL_SSSP = _sssp_sql()
+
+
+# ------------------------------------------------------ graph: assortativity
+def q_assortativity(spark, sf_dir):
+    """Out-in degree assortativity of the directed derived graph
+    (``assortativity/correlation.py:19``)."""
+    from networkx_spark.algorithms.assortativity import (
+        degree_assortativity_coefficient)
+    val = degree_assortativity_coefficient(derived_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(val, 6),)], "assortativity double")
+
+
+# Pearson r is scale-invariant, so sample-vs-population normalization
+# cancels — DuckDB corr() and Spark F.corr compute the same statistic
+SQL_ASSORTATIVITY = f"""
+WITH e AS ({EDGES_SQL}),
+od AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+idg AS (SELECT dst AS id, count(*) AS d FROM e GROUP BY dst)
+SELECT round(corr(od.d, idg.d), 6) AS assortativity
+FROM e JOIN od ON e.src = od.id JOIN idg ON e.dst = idg.id
+"""
+
+
 # ------------------------------------------------------------------ graph: scc
 def q_scc(spark, sf_dir):
     from networkx_spark.algorithms.scc import strongly_connected_components
@@ -514,13 +578,18 @@ def q_simhash(spark, sf_dir):
 
 SQL_SIMHASH = rf"""
 WITH {_shingle_sql(1)},
-hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h FROM sh),
+hs AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS h,
+       ('0x' || substr(md5(shingle), 17, 15))::BIGINT AS h2 FROM sh),
 bits AS (SELECT doc_id, i AS b,
-         CASE WHEN ((h >> i::INT) & 1) = 1 THEN 1 ELSE -1 END AS s
-         FROM hs, range(0, 32) AS r(i)),
+         CASE WHEN ((CASE WHEN i < 32 THEN (h >> i::INT)
+                     ELSE (h2 >> (i::INT - 32)) END) & 1) = 1
+         THEN 1 ELSE -1 END AS s
+         FROM hs, range(0, 64) AS r(i)),
 votes AS (SELECT doc_id, b, sum(s) AS v FROM bits GROUP BY doc_id, b)
 SELECT doc_id,
-       sum(CASE WHEN v > 0 THEN (1::BIGINT << b::INT) ELSE 0 END)::BIGINT AS simhash
+       sum(CASE WHEN v <= 0 THEN 0
+                WHEN b = 63 THEN -9223372036854775808
+                ELSE (1::BIGINT << b::INT) END)::BIGINT AS simhash
 FROM votes GROUP BY doc_id
 """
 
@@ -690,12 +759,11 @@ ORDER BY rk LIMIT 10
 
 
 # ------------------------------------------------------------------ goldens
-# Two operators are deterministic (seed=42) but not SQL-expressible: HTML
-# link extraction (a parser) and LPA (coloring-order-dependent).  Their
-# oracles are committed golden parquet snapshots regenerated by
-# ``python scripts/make_goldens.py`` whenever the engine's deterministic
-# output legitimately changes — a regression pin, weaker than an
-# independent SQL oracle, and labeled as such here.
+# LPA is deterministic (seed=42) but not SQL-expressible
+# (coloring-order-dependent), so its oracle is a committed golden parquet
+# snapshot regenerated by ``python scripts/make_goldens.py`` whenever the
+# engine's deterministic output legitimately changes — a regression pin,
+# weaker than an independent SQL oracle, and labeled as such here.
 GOLDEN_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                           "tests", "golden")
 
@@ -703,8 +771,18 @@ SQL_LPA_GOLDEN = (f"SELECT id, label FROM "
                   f"read_parquet('{GOLDEN_DIR}/label_propagation_web400.parquet')")
 SQL_ASYN_LPA_GOLDEN = (f"SELECT id, label FROM "
                        f"read_parquet('{GOLDEN_DIR}/asyn_lpa_web400.parquet')")
-SQL_WEB_EXTRACTION_GOLDEN = (f"SELECT src, dst FROM "
-                             f"read_parquet('{GOLDEN_DIR}/web_extraction_500.parquet')")
+
+# web_extraction is NOT a self-golden: the committed artifact is the INPUT
+# (the synthesized pages' raw html, seed=42), and DuckDB independently
+# re-derives the edges from that html with a regex — an engine-independent
+# check of the HTML-parser extraction path (anchors in the synthesized
+# corpus are absolute hrefs, so regex capture == urljoin-resolved links).
+SQL_WEB_EXTRACTION = f"""
+WITH p AS (SELECT url, html FROM read_parquet('{GOLDEN_DIR}/web_pages_500.parquet')),
+l AS (SELECT url AS src, unnest(regexp_extract_all(html, 'href="([^"]*)"', 1)) AS dst
+      FROM p)
+SELECT DISTINCT src, dst FROM l WHERE dst <> src
+"""
 
 
 # ---------------------------------------------------------------- registry
@@ -725,6 +803,8 @@ QUERIES = {
     "core_number": (q_core_number, SQL_CORE_NUMBER),
     "strongly_connected_components": (q_scc, SQL_SCC),
     "clustering_weighted": (q_clustering_weighted, SQL_CLUSTERING_WEIGHTED),
+    "sssp_weighted": (q_sssp_weighted, SQL_SSSP),
+    "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
     # documents pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -773,7 +853,7 @@ def q_web_extraction(spark, sf_dir):
 QUERIES.update({
     "label_propagation": (q_lpa, SQL_LPA_GOLDEN),
     "asyn_lpa": (q_asyn_lpa, SQL_ASYN_LPA_GOLDEN),
-    "web_extraction": (q_web_extraction, SQL_WEB_EXTRACTION_GOLDEN),
+    "web_extraction": (q_web_extraction, SQL_WEB_EXTRACTION),
     "bfs_distances": (q_bfs, SQL_BFS),
 })
 

@@ -245,7 +245,12 @@ class Graph:
     def in_degrees(self, weighted: bool = False) -> DataFrame:
         """(id, degree): directed in-degree (``digraph.py:1095``) — a groupBy
         on ``dst``, the engine's stand-in for the reference's materialized
-        ``_pred`` map."""
+        ``_pred`` map.  Undirected graphs have no in-degree concept in the
+        reference; route to :meth:`out_degrees` so all three degree methods
+        agree on the same graph (incl. the ×2 self-loop rule,
+        ``reportviews.py:521-528``)."""
+        if not self.directed:
+            return self.out_degrees(weighted)
         adj = self.symmetrized()
         val = F.sum(F.col(WEIGHT) if weighted else F.lit(1))
         deg = adj.groupBy(F.col(DST).alias(ID)).agg(

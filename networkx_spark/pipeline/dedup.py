@@ -9,7 +9,7 @@ graph extraction, built Spark-first:
   per-doc signature → banded bucket join → candidate pairs → exact Jaccard
   verify.  Only the banded join shuffles pair data; the signature build is
   one groupBy.
-* **SimHash**: 32-bit majority fingerprint; near-dup = small Hamming
+* **SimHash**: 64-bit majority fingerprint; near-dup = small Hamming
   distance.
 * **n-gram Jaccard**: exact pairwise similarity via a shingle-equijoin —
   quadratic in bucket size, used as the verifier behind LSH candidates (or
@@ -169,32 +169,49 @@ def near_duplicates_minhash(docs: DataFrame, k: int = 3, threshold: float = 0.8,
 
 
 def simhash(docs: DataFrame, k: int = 1) -> DataFrame:
-    """(doc_id, simhash): 32-bit majority fingerprint over shingle hashes.
+    """(doc_id, simhash): 64-bit majority fingerprint over shingle hashes.
 
     Bit b is 1 iff more shingle hashes have bit b set than unset; computed
-    by exploding bit positions (32 rows per shingle — JVM-side sequence,
-    one aggregation)."""
-    hs = shingle_hashes(shingles(docs, k))
-    bits = (hs.select("doc_id", F.col("h"),
-                      F.explode(F.expr("sequence(0, 31)")).alias("b"))
+    by exploding bit positions (64 rows per shingle — JVM-side sequence,
+    one aggregation).  The low 32 bits vote on the first md5-prefix hash
+    (chars 1-15), the high 32 on an independent second prefix (chars
+    17-31) — both portable to the SQL oracle.  64 bits (vs the earlier 32)
+    gives birthday-collision headroom at 10¹²-document scale: P(any two of
+    10¹² random fingerprints collide exactly) is ~2⁻²⁴ per pair band at
+    64-bit vs near-certain at 32-bit."""
+    sh = shingles(docs, k)
+    hs = sh.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("long").alias("h"),
+        F.conv(F.substring(F.md5("shingle"), 17, 15), 16, 10).cast("long").alias("h2"))
+    bits = (hs.select("doc_id", "h", "h2",
+                      F.explode(F.expr("sequence(0, 63)")).alias("b"))
             .select("doc_id", "b",
-                    F.expr("CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END")
-                    .alias("s")))
+                    F.expr("CASE WHEN (CASE WHEN b < 32 THEN shiftright(h, b) "
+                           "ELSE shiftright(h2, b - 32) END & 1) = 1 "
+                           "THEN 1 ELSE -1 END").alias("s")))
     votes = bits.groupBy("doc_id", "b").agg(F.sum("s").alias("v"))
     return (votes.groupBy("doc_id")
             .agg(F.sum(F.expr("CASE WHEN v > 0 THEN shiftleft(1L, b) ELSE 0L END"))
                  .alias("simhash")))
 
 
+N_SIMHASH_BANDS = 8  # 64-bit fingerprint → 8 byte-bands
+
+
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
                             k: int = 1) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance ≤ ``max_hamming``.
 
-    Candidate generation blocks on 4 byte-bands of the fingerprint (two
-    near-dups within distance 3 must agree on ≥1 of 4 bands)."""
+    Candidate generation blocks on 8 byte-bands of the 64-bit fingerprint:
+    two fingerprints within Hamming distance d ≤ 7 must agree exactly on
+    ≥ 8 − d bands, so any ``max_hamming`` ≤ 7 is recall-lossless here."""
+    if max_hamming > N_SIMHASH_BANDS - 1:
+        raise ValueError(f"max_hamming > {N_SIMHASH_BANDS - 1} would lose "
+                         "recall with byte-band blocking")
     sig = simhash(docs, k).cache()
     bands = None
-    for i in range(4):
+    for i in range(N_SIMHASH_BANDS):
         p = sig.select("doc_id", F.lit(i).alias("band"),
                        F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255)).alias("key"))
         bands = p if bands is None else bands.unionByName(p)

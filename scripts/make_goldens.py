@@ -19,17 +19,23 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    from networkx_spark.entry_queries import (GOLDEN_DIR, q_asyn_lpa, q_lpa,
-                                              q_web_extraction)
+    from pyspark.sql import functions as F
+
+    from networkx_spark.entry_queries import GOLDEN_DIR, q_asyn_lpa, q_lpa
+    from networkx_spark.generators import synthesize_pages
     from networkx_spark.session import get_spark
 
     spark = get_spark("make-goldens", cores=8, shuffle_partitions=8)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    for name, fn in [("label_propagation_web400", q_lpa),
-                     ("asyn_lpa_web400", q_asyn_lpa),
-                     ("web_extraction_500", q_web_extraction)]:
+    jobs = [("label_propagation_web400", lambda: q_lpa(spark, "")),
+            ("asyn_lpa_web400", lambda: q_asyn_lpa(spark, "")),
+            # INPUT snapshot, not an output golden: the extraction oracle
+            # re-derives edges from this raw html independently in DuckDB
+            ("web_pages_500", lambda: synthesize_pages(spark, 500, seed=42)
+             .select("url", F.col("html").cast("string").alias("html")))]
+    for name, fn in jobs:
         # single file, no partitioning — a stable, reviewable snapshot
-        df = fn(spark, "")
+        df = fn()
         cols = list(df.columns)
         pdf = df.toPandas().sort_values(by=cols).reset_index(drop=True)
         path = os.path.join(GOLDEN_DIR, f"{name}.parquet")

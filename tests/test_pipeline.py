@@ -65,10 +65,16 @@ def test_simhash(spark, docs):
     sh = {r.doc_id: r.simhash for r in simhash(docs).collect()}
     assert 7 not in sh                       # empty doc excluded, like the oracle
     assert sh[1] == sh[2] == sh[6]
-    assert 0 <= sh[1] < (1 << 32)
+    assert -(1 << 63) <= sh[1] < (1 << 63)   # full 64-bit fingerprint
+    # distinct docs should disagree somewhere in the high 32 bits too —
+    # the second md5-prefix hash is really voting
+    assert any((sh[a] >> 32) != (sh[b] >> 32)
+               for a in sh for b in sh if a < b)
     nd = {(r.a, r.b): r.hamming for r in
           simhash_near_duplicates(docs, max_hamming=0).collect()}
     assert nd[(1, 2)] == 0 and nd[(1, 6)] == 0
+    with pytest.raises(ValueError):          # 8 byte-bands cover distance ≤ 7
+        simhash_near_duplicates(docs, max_hamming=8)
 
 
 def test_jaccard_candidate_path_survives_common_shingle(spark):
