@@ -76,12 +76,45 @@ def greedy_color(g: Graph, max_rounds: int = 500,
     random order on power-law graphs, so it stays the default.
 
     Per-round state is cut with a parquet round-trip (see superstep.py for
-    why ``localCheckpoint`` chains are off-limits)."""
+    why ``localCheckpoint`` chains are off-limits).  Each round's update is
+    ONE ``spark.sql`` statement over temp views: classic PySpark analyzes
+    every DataFrame transformation eagerly over py4j, and on these
+    multi-join round plans that driver-side build cost was comparable to
+    the execution itself (measured ~0.7s build vs ~0.6s exec per round on
+    tiny graphs); a single SQL parse+analysis drops it to ~50ms."""
+    spark = g.edges.sparkSession
     runner = SuperstepRunner(None, name="coloring")
     adj = (g.symmetrized().filter(F.col(SRC) != F.col(DST))
            .select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"))).cache()
+    adj.createOrReplaceTempView("nxs_color_adj")
+    # ONE aggregation per round computes, for every vertex, both the max
+    # priority among its uncolored neighbors and the color set of its
+    # colored neighbors; a vertex wins (colors itself with the mex of
+    # `used`) when its own (deg, h) priority struct beats every uncolored
+    # neighbor's.  Priority: degree desc, then xxhash asc (~ flips the hash
+    # so the struct comparison is uniformly "greater wins"); >= keeps the
+    # original strict-blocking semantics on (astronomical) hash ties.
+    ROUND_SQL = """
+SELECT s.id, s.deg, s.h, coalesce(c._nc, s.color) AS color
+FROM nxs_color_state s
+LEFT JOIN (
+  SELECT s2.id,
+         filter(sequence(0, size(coalesce(g.used, array()))),
+                x -> NOT array_contains(coalesce(g.used, array()), x))[0] AS _nc
+  FROM (SELECT * FROM nxs_color_state WHERE color IS NULL) s2
+  LEFT JOIN (
+    SELECT a.id,
+           max(CASE WHEN s3.color IS NULL
+               THEN named_struct('d', s3.deg, 'r', ~s3.h) END) AS mup,
+           array_sort(collect_set(s3.color)) AS used
+    FROM nxs_color_adj a JOIN nxs_color_state s3 ON s3.id = a.nbr
+    GROUP BY a.id
+  ) g ON g.id = s2.id
+  WHERE g.mup IS NULL OR named_struct('d', s2.deg, 'r', ~s2.h) >= g.mup
+) c ON c.id = s.id
+"""
     try:
-      with fixed_plan(g.edges.sparkSession):
+      with fixed_plan(spark):
         deg = adj.groupBy(ID).agg(F.count("*").alias("deg"))
         deg_prio = (F.coalesce("deg", F.lit(0)) if strategy == "largest_first"
                     else F.lit(0))
@@ -101,38 +134,10 @@ def greedy_color(g: Graph, max_rounds: int = 500,
         for _ in range(max_rounds):
             if remaining == 0:
                 break
-            # ONE aggregation per round computes, for every vertex, both the
-            # max priority among its uncolored neighbors and the color set
-            # of its colored neighbors; a vertex wins (colors itself with
-            # the mex of `used`) when its own (deg, h, id) priority struct
-            # beats every uncolored neighbor's
-            nbrinfo = (adj.join(state.select(F.col(ID).alias("nbr"),
-                                             F.col("deg").alias("ndeg"),
-                                             F.col("h").alias("nh"),
-                                             F.col("color").alias("nc")),
-                                "nbr"))
-            # priority: degree desc, then xxhash asc (~ flips the hash so the
-            # struct comparison is uniformly "greater wins"); >= keeps the
-            # original strict-blocking semantics on (astronomical) hash ties
-            agg = (nbrinfo.groupBy(ID).agg(
-                F.max(F.when(F.col("nc").isNull(),
-                             F.struct(F.col("ndeg").alias("d"),
-                                      F.bitwise_not(F.col("nh")).alias("r")))).alias("mup"),
-                F.array_sort(F.collect_set("nc")).alias("used")))
-            colored = (state.filter(F.col("color").isNull())
-                       .join(agg, ID, "left")
-                       .filter(F.col("mup").isNull() |
-                               (F.struct(F.col("deg").alias("d"),
-                                         F.bitwise_not(F.col("h")).alias("r"))
-                                >= F.col("mup")))
-                       .withColumn("used", F.coalesce("used", F.array()))
-                       .withColumn("_nc", F.expr(
-                           "filter(sequence(0, size(used)), x -> NOT array_contains(used, x))[0]"))
-                       .select(ID, "_nc"))
+            state.createOrReplaceTempView("nxs_color_state")
             obs = Observation()
-            nxt = (state.join(colored, ID, "left")
-                   .select(ID, "deg", "h", F.coalesce("_nc", "color").alias("color"))
-                   .observe(obs, F.count(F.when(F.col("color").isNull(), 1)).alias("rem")))
+            nxt = spark.sql(ROUND_SQL).observe(
+                obs, F.count(F.when(F.col("color").isNull(), 1)).alias("rem"))
             state = runner.cut(nxt)
             remaining = obs.get["rem"]
         return state.select(ID, "color")
@@ -163,16 +168,33 @@ def _sweep_lpa(
     frontier: bool = False,
     name: str = "lpa_state",
 ) -> DataFrame:
-    """Shared color-class-sequential sweep engine → (id, label)."""
+    """Shared color-class-sequential sweep engine → (id, label).
+
+    State layout: ONE parquet-backed table ``(id, label, color, _chg)``
+    rewritten after every color-class update.  The per-color parquet cut
+    resets the logical plan, so the 3 references per update point at a
+    single flat relation — this replaces the earlier one-part-per-color
+    union (8 parquet relations in every join) whose Catalyst analysis cost
+    dominated the tiny per-color jobs (measured ~2× per-color job time).
+
+    No-op pruning (all variants): a color-class update is a deterministic
+    function of its members' neighborhoods; if since the class's previous
+    update no member's label and no member-neighbor's label changed, the
+    update provably returns the same labels (keep-if-best keeps the
+    previous argmax choice even for the seeded tie-break, because the
+    frequency table is unchanged and the current label is in its argmax
+    set).  So each sweep touches only colors with a member in
+    ``active = changed ∪ N(changed)`` — final labels are identical to the
+    unpruned schedule, sweep-by-sweep.  This is also exactly the
+    reference's fast-LPA queue semantics (``:92-99``), so ``frontier``
+    merely selects the fast-LPA metrics name.
+    """
     if g.directed:
         raise ValueError("label propagation is not implemented for directed "
                          "graphs (reference raises NetworkXNotImplemented)")
     spark = g.edges.sparkSession
-    # keep_scratch=0: all color-class parts of the current sweep (plus the
-    # frontier) stay referenced simultaneously — rotation would delete
-    # files still backing live DataFrames
     runner = SuperstepRunner(checkpoint_dir, name=name,
-                             interval=checkpoint_interval, keep_scratch=0)
+                             interval=checkpoint_interval)
     # adjacency both directions, self-loop once — the reference counts over
     # G[node] (label_propagation.py:320); weighted counts for the seeded
     # variants (``:211-215``)
@@ -180,10 +202,43 @@ def _sweep_lpa(
     adj = (g.symmetrized()
            .select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"), wcol.alias("_w"))
            ).cache()
+    adj.createOrReplaceTempView("nxs_lpa_adj")
 
-    # frontier mode (fast_label_propagation, :56-99): only nodes adjacent
-    # to a change are revisited next sweep; None = all nodes active
-    active: Optional[DataFrame] = None
+    # the whole color-class update is ONE spark.sql statement (same
+    # rationale as greedy_color: eager per-transformation analysis made the
+    # driver-side plan build as expensive as the execution).  Two
+    # aggregations: (1) neighbor-label frequencies for this color class,
+    # current label carried along; (2) argmax with keep-if-best —
+    # struct-max picks (cnt, tie_rank, nlabel)-lexicographic max, i.e. the
+    # tie-break among the max-frequency labels.  Literal types in the tie
+    # hash stay INT to keep xxhash64 values (and thus seeded goldens)
+    # identical to the F.lit() form.
+    UPDATE_SQL = """
+SELECT l.id, coalesce(u.new_label, l.label) AS label, l.color,
+       (u.new_label IS NOT NULL AND u.new_label != l.label)
+       OR (l.color != {c} AND l._chg) AS _chg
+FROM nxs_lpa_labels l
+LEFT JOIN (
+  SELECT id, CASE WHEN cur_cnt = mx THEN cur ELSE top.nlabel END AS new_label
+  FROM (
+    SELECT id, cur,
+           max(named_struct('cnt', cnt, 'r', {tie}, 'nlabel', nlabel)) AS top,
+           max(cnt) AS mx,
+           max(CASE WHEN nlabel = cur THEN cnt END) AS cur_cnt
+    FROM (
+      SELECT a.id, m.cur, ln.label AS nlabel, sum(a._w) AS cnt
+      FROM nxs_lpa_adj a
+      JOIN (SELECT id, label AS cur FROM nxs_lpa_labels WHERE color = {c}) m
+        ON a.id = m.id
+      JOIN nxs_lpa_labels ln ON ln.id = a.nbr
+      GROUP BY a.id, m.cur, ln.label
+    ) GROUP BY id, cur
+  )
+) u ON u.id = l.id
+"""
+    tie_sql = ("0L" if tie == "precmax"
+               else f"xxhash64({int(seed or 0)}, {{sweep}}, id, nlabel)")
+
     colors: Optional[DataFrame] = None
     n = g.number_of_vertices()
     try:
@@ -191,80 +246,48 @@ def _sweep_lpa(
         colors = greedy_color(g).cache()
         color_list = [r["color"] for r in
                       colors.select("color").distinct().orderBy("color").collect()]
-        # labels live as one parquet-backed PART per color class: a color's
-        # update rewrites only its own (small) part, so the lazy plan per
-        # color stays flat — a single chained `labels` DataFrame is
-        # referenced 3× per update and its logical plan grows as 3^colors
-        # within a sweep (measured: 34s of driver analysis by the 8th color
-        # on 2k vertices)
-        parts: dict[int, DataFrame] = {}
-        for c in color_list:
-            parts[c] = runner.cut(
-                g.vertices().join(colors.filter(F.col("color") == c), ID, "semi")
-                .select(ID, F.col(ID).alias("label")))
-
-        def labels_view() -> DataFrame:
-            out = parts[color_list[0]]
-            for c in color_list[1:]:
-                out = out.unionByName(parts[c])
-            return out
+        labels = runner.cut(
+            g.vertices().join(colors, ID)
+            .select(ID, F.col(ID).alias("label"), "color",
+                    F.lit(True).alias("_chg")))   # everything active at start
         for sweep in range(max_sweeps):
+            # ONE job finds the colors that still have an active member:
+            # active = changed ∪ neighbors(changed), intersected with each
+            # color class — late sweeps typically touch 1-2 of the classes
+            if sweep == 0:
+                live = color_list
+            else:
+                chg = labels.filter("_chg").select(ID)
+                act = (adj.join(chg, ID, "semi").select(F.col("nbr").alias(ID))
+                       .unionByName(chg))
+                live = sorted(r["color"] for r in
+                              labels.join(act, ID, "semi")
+                              .select("color").distinct().collect())
             n_changed = 0
-            changed_parts = []
-            for c in color_list:
-                part = parts[c]
-                members = part
-                if active is not None:
-                    members = members.join(active, ID, "semi")
-                # two aggregations total: (1) neighbor-label frequencies for
-                # this color class, current label carried along; (2) argmax
-                # with keep-if-best — struct-max picks (cnt, tie_rank,
-                # nlabel)-lexicographic max, i.e. the tie-break among the
-                # max-frequency labels
-                freq = (adj.join(members.withColumnRenamed("label", "cur"), ID)
-                        .join(labels_view().select(F.col(ID).alias("nbr"),
-                                                   F.col("label").alias("nlabel")), "nbr")
-                        .groupBy(ID, "cur", "nlabel").agg(F.sum("_w").alias("cnt")))
-                upd = (freq.groupBy(ID, "cur")
-                       .agg(F.max(F.struct(F.col("cnt"),
-                                           _tie_rank(tie, seed, sweep).alias("_r"),
-                                           F.col("nlabel"))).alias("top"),
-                            F.max("cnt").alias("mx"),
-                            F.max(F.when(F.col("nlabel") == F.col("cur"), F.col("cnt"))
-                                  ).alias("cur_cnt"))
-                       .select(ID, F.when(F.col("cur_cnt") == F.col("mx"), F.col("cur"))
-                               .otherwise(F.col("top").getField("nlabel"))
-                               .alias("new_label")))
+            for c in live:
+                labels.createOrReplaceTempView("nxs_lpa_labels")
                 obs = Observation()
-                new_part = (part.join(upd, ID, "left")
-                            .select(ID, F.coalesce("new_label", "label").alias("label"),
-                                    (F.col("new_label").isNotNull() &
-                                     (F.col("new_label") != F.col("label"))).alias("_chg"))
-                            .observe(obs, F.sum(F.col("_chg").cast("long")).alias("chg")))
-                parts[c] = runner.cut(new_part)
+                new_labels = (spark.sql(UPDATE_SQL.format(
+                                  c=c, tie=tie_sql.format(sweep=sweep)))
+                              .observe(obs, F.sum(
+                                  F.when(F.col("color") == c, F.col("_chg").cast("long"))
+                                  .otherwise(F.lit(0))).alias("chg")))
+                labels = runner.cut(new_labels)
                 n_changed += int(obs.get["chg"] or 0)
-                if frontier:
-                    changed_parts.append(parts[c].filter("_chg").select(ID))
-                parts[c] = parts[c].select(ID, "label")
-            labels = runner.checkpoint(labels_view(), sweep,
-                                       extra={"algorithm": f"lpa:{tie}", "sweep": sweep,
-                                              "colors": len(color_list),
-                                              "changed": n_changed})
+            out = runner.checkpoint(labels, sweep, rows=n,
+                                    extra={"algorithm": f"lpa:{tie}", "sweep": sweep,
+                                           "colors": len(color_list),
+                                           "live_colors": len(live),
+                                           "changed": n_changed})
             # completeness == quiescence: a node keeps its label exactly
             # when it is in the argmax set (keep-if-best), so a sweep with
             # zero changes IS the reference's _labeling_complete condition
-            # (:296-306); in frontier mode inactive nodes were complete
-            # when deactivated and their neighborhoods have not changed
+            # (:296-306); pruned colors were complete when pruned and their
+            # members' neighborhoods have not changed since
             runner.update_last(residual=float(n_changed))
             if n_changed == 0:
-                return labels
-            if frontier:
-                chg = changed_parts[0]
-                for p in changed_parts[1:]:
-                    chg = chg.unionByName(p)
-                active = runner.cut(
-                    adj.join(chg, ID, "semi").select(F.col("nbr").alias(ID))
-                    .unionByName(chg).distinct())
+                return out.select(ID, "label")
+            labels = out
         raise RuntimeError(f"LPA did not stabilize within {max_sweeps} sweeps")
     finally:
         adj.unpersist()

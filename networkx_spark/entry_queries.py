@@ -321,6 +321,30 @@ FROM e JOIN od ON e.src = od.id JOIN idg ON e.dst = idg.id
 """
 
 
+# ------------------------------------------------------- graph: betweenness
+def q_betweenness(spark, sf_dir):
+    """Exact normalized betweenness on Zachary's karate club — checked
+    against values computed by the reference implementation at authoring
+    time (an engine-independent oracle, embedded as VALUES)."""
+    from networkx_spark.algorithms.betweenness import betweenness_centrality
+    from networkx_spark.generators import karate_club_graph
+    bc = betweenness_centrality(karate_club_graph(spark), normalized=True)
+    return bc.select("id", F.round("betweenness", 6).alias("betweenness"))
+
+
+# reference nx.betweenness_centrality(nx.karate_club_graph()), rounded 6
+SQL_BETWEENNESS = """
+SELECT id::BIGINT AS id, betweenness::DOUBLE AS betweenness FROM (VALUES
+(0, 0.437635), (1, 0.053937), (2, 0.143657), (3, 0.011909), (4, 0.000631),
+(5, 0.029987), (6, 0.029987), (7, 0.0), (8, 0.055927), (9, 0.000848),
+(10, 0.000631), (11, 0.0), (12, 0.0), (13, 0.045863), (14, 0.0), (15, 0.0),
+(16, 0.0), (17, 0.0), (18, 0.0), (19, 0.032475), (20, 0.0), (21, 0.0),
+(22, 0.0), (23, 0.017614), (24, 0.00221), (25, 0.00384), (26, 0.0),
+(27, 0.022333), (28, 0.001795), (29, 0.002922), (30, 0.014412),
+(31, 0.138276), (32, 0.145247), (33, 0.304075)) AS t(id, betweenness)
+"""
+
+
 # ------------------------------------------------------------------ graph: scc
 def q_scc(spark, sf_dir):
     from networkx_spark.algorithms.scc import strongly_connected_components
@@ -805,6 +829,7 @@ QUERIES = {
     "clustering_weighted": (q_clustering_weighted, SQL_CLUSTERING_WEIGHTED),
     "sssp_weighted": (q_sssp_weighted, SQL_SSSP),
     "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
+    "betweenness_karate": (q_betweenness, SQL_BETWEENNESS),
     # documents pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
