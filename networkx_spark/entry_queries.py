@@ -345,6 +345,39 @@ SELECT id::BIGINT AS id, betweenness::DOUBLE AS betweenness FROM (VALUES
 """
 
 
+# -------------------------------------------------------- graph: modularity
+def q_modularity_fixed(spark, sf_dir):
+    """Modularity of the fixed partition ``id % 10`` on the undirected
+    derived graph (``community/quality.py:115``) — exercises the same
+    aggregation Louvain's level-acceptance check uses, with a pure-SQL
+    twin."""
+    from networkx_spark.algorithms.louvain import modularity
+    e = derived_edges(spark, sf_dir)
+    ue = (e.select(F.least("src", "dst").alias("src"),
+                   F.greatest("src", "dst").alias("dst")).distinct())
+    g = Graph.from_edges(ue, directed=False)
+    lab = g.vertices().select("id", (F.col("id") % 10).alias("c"))
+    return spark.createDataFrame([(round(modularity(g, lab), 6),)],
+                                 "modularity double")
+
+
+SQL_MODULARITY = f"""
+WITH u AS MATERIALIZED ({UEDGES_SQL}),
+mm AS (SELECT count(*)::DOUBLE AS m FROM u),
+lab AS (SELECT id, id % 10 AS c FROM ({VERTS_SQL})),
+intra AS (SELECT la.c, count(*)::DOUBLE AS lc
+          FROM u JOIN lab la ON u.src = la.id JOIN lab lb ON u.dst = lb.id
+          WHERE la.c = lb.c GROUP BY la.c),
+deg AS (SELECT id, count(*) AS d FROM
+        (SELECT src AS id FROM u UNION ALL SELECT dst FROM u) GROUP BY id),
+dc AS (SELECT la.c, sum(deg.d)::DOUBLE AS dc
+       FROM deg JOIN lab la ON deg.id = la.id GROUP BY la.c)
+SELECT round(sum(COALESCE(i.lc, 0) / (SELECT m FROM mm)
+       - pow(dc.dc / (2 * (SELECT m FROM mm)), 2)), 6) AS modularity
+FROM dc LEFT JOIN intra i ON i.c = dc.c
+"""
+
+
 # ------------------------------------------------------------------ graph: scc
 def q_scc(spark, sf_dir):
     from networkx_spark.algorithms.scc import strongly_connected_components
@@ -795,6 +828,8 @@ SQL_LPA_GOLDEN = (f"SELECT id, label FROM "
                   f"read_parquet('{GOLDEN_DIR}/label_propagation_web400.parquet')")
 SQL_ASYN_LPA_GOLDEN = (f"SELECT id, label FROM "
                        f"read_parquet('{GOLDEN_DIR}/asyn_lpa_web400.parquet')")
+SQL_LOUVAIN_GOLDEN = (f"SELECT id, label FROM "
+                      f"read_parquet('{GOLDEN_DIR}/louvain_web400.parquet')")
 
 # web_extraction is NOT a self-golden: the committed artifact is the INPUT
 # (the synthesized pages' raw html, seed=42), and DuckDB independently
@@ -830,6 +865,7 @@ QUERIES = {
     "sssp_weighted": (q_sssp_weighted, SQL_SSSP),
     "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
     "betweenness_karate": (q_betweenness, SQL_BETWEENNESS),
+    "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     # documents pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -875,9 +911,19 @@ def q_web_extraction(spark, sf_dir):
     return edges_from_pages(synthesize_pages(spark, 500, seed=42))
 
 
+def q_louvain(spark, sf_dir):
+    """Seeded Louvain on the web-400 fixture (seed=11) — deterministic
+    (hash tie-breaks + color schedule), pinned by a golden; its modularity
+    quality is independently tested against the reference in
+    tests/test_louvain.py."""
+    from networkx_spark.algorithms.louvain import louvain_communities
+    return louvain_communities(_web_graph(spark, directed=False), seed=11)
+
+
 QUERIES.update({
     "label_propagation": (q_lpa, SQL_LPA_GOLDEN),
     "asyn_lpa": (q_asyn_lpa, SQL_ASYN_LPA_GOLDEN),
+    "louvain": (q_louvain, SQL_LOUVAIN_GOLDEN),
     "web_extraction": (q_web_extraction, SQL_WEB_EXTRACTION),
     "bfs_distances": (q_bfs, SQL_BFS),
 })
