@@ -79,6 +79,14 @@ def main():
                  .select("component").distinct().count())
     queries["connected_components_web"] = t
 
+    # weighted SSSP from page 0 (deterministic hash-derived weights)
+    from networkx_spark.algorithms.sssp import sssp_distances
+    g_w = Graph.from_edges(
+        edges.withColumn("w", (F.lit(1) + (F.col("src") * 31 + F.col("dst") * 17) % 9)
+              .cast("double")), weight="w", combine="max")
+    _, t = timed(lambda: sssp_distances(g_w, 0).count())
+    queries["sssp_web"] = t
+
     # triangle counting (undirected web graph)
     from networkx_spark.algorithms.triangles import triangles
     g_und = g_web.to_undirected()
@@ -92,6 +100,12 @@ def main():
     _, t = timed(lambda: label_propagation_communities(g_small)
                  .select("label").distinct().count())
     queries["label_propagation_web2k"] = t
+
+    # sampled betweenness on the same 2k web subgraph (k=8 sources)
+    from networkx_spark.algorithms.betweenness import betweenness_centrality
+    _, t = timed(lambda: betweenness_centrality(g_small, k=8, seed=1)
+                 .agg(F.sum("betweenness")).collect())
+    queries["betweenness_web2k_k8"] = t
 
     # extraction throughput: pages html -> edges (Arrow UDF path)
     from networkx_spark.extract import edges_from_pages

@@ -84,3 +84,46 @@ def write_adjlist(g: Graph, path: str, delimiter: str = " ") -> None:
                  .alias("value"))
              .select(F.regexp_replace("value", f"{delimiter}$", "").alias("value")))
     lines.write.mode("overwrite").text(path)
+
+
+# ---------------------------------------------------------- JSON node-link
+def node_link_data(g: Graph, cap: int = 100_000) -> dict:
+    """Reference-shaped node-link dict
+    (``readwrite/json_graph/node_link.py:34``): ``{"directed", "multigraph",
+    "graph", "nodes": [{"id": …}], "links": [{"source", "target",
+    "weight"}]}`` — the most common "get my graph out" interop path for
+    reference users.  Driver-side by nature (a JSON document is a
+    driver-side structure), guarded like :mod:`networkx_spark.convert`;
+    the distributed interchange format remains the edge table itself."""
+    from networkx_spark.convert import _guard
+    _guard(g, cap)
+    nodes = [{"id": r[ID]} for r in g.vertices().orderBy(ID).collect()]
+    links = [{"source": r[SRC], "target": r[DST], "weight": r[WEIGHT]}
+             for r in g.edges.orderBy(SRC, DST).collect()]
+    return {"directed": g.directed, "multigraph": False, "graph": {},
+            "nodes": nodes, "links": links}
+
+
+def node_link_graph(spark: SparkSession, data: dict) -> Graph:
+    """Inverse of :func:`node_link_data`
+    (``node_link.py:142`` ``node_link_graph``); accepts either the
+    ``links`` or the newer ``edges`` key."""
+    links = data.get("links", data.get("edges", []))
+    rows = [(str(l["source"]), str(l["target"]),
+             float(l.get("weight", 1.0))) for l in links]
+    nodes = [str(n["id"]) for n in data.get("nodes", [])]
+    return Graph.from_edge_list(spark, rows, nodes=nodes or None,
+                                directed=bool(data.get("directed", False)))
+
+
+def write_node_link_json(g: Graph, path: str, cap: int = 100_000) -> None:
+    """Single-file JSON document (reference-interop form)."""
+    import json
+    with open(path, "w") as fh:
+        json.dump(node_link_data(g, cap), fh)
+
+
+def read_node_link_json(spark: SparkSession, path: str) -> Graph:
+    import json
+    with open(path) as fh:
+        return node_link_graph(spark, json.load(fh))

@@ -100,7 +100,11 @@ def worker(cores: int, pages: int, supersteps: int, kernel: str = "row") -> None
 
 
 def _spawn(cores: int, args) -> subprocess.Popen:
-    env = dict(os.environ, NXS_SCALING_WORKER=str(cores))
+    # heap must hold the cached normalized edge table (~40 B/edge): the
+    # protocol input is sized to be shuffle-bound, so an undersized heap
+    # would silently evict the cache and re-derive it every superstep
+    env = dict(os.environ, NXS_SCALING_WORKER=str(cores),
+               SPARK_GRAFT_DRIVER_MEM=args.driver_mem)
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--pages", str(args.pages), "--supersteps", str(args.supersteps),
@@ -150,6 +154,7 @@ def main() -> None:
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--supersteps", type=int, default=12)
     ap.add_argument("--kernel", default="row", choices=["row", "blocked"])
+    ap.add_argument("--driver-mem", default="48g")
     ap.add_argument("--no-control", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()

@@ -197,3 +197,59 @@ def test_numpy_converters_roundtrip(spark):
     assert (b[np.ix_(order, order)] == a).all()
     with __import__("pytest").raises(ValueError):
         to_numpy_array(g, cap=1)
+
+
+def test_google_matrix_matches_reference(spark):
+    import networkx as nx
+    import numpy as np
+    from networkx_spark.convert import google_matrix
+    edges = [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")]  # e dangling
+    g = Graph.from_edge_list(spark, edges, directed=True, nodes=["e"])
+    G = nx.DiGraph(edges); G.add_node("e")
+    m, nodes = google_matrix(g, alpha=0.85)
+    ref = np.asarray(nx.google_matrix(G, alpha=0.85, nodelist=nodes))
+    assert np.allclose(m, ref)
+    m2, nodes2 = google_matrix(g, alpha=0.9, personalization={"a": 2.0, "b": 1.0})
+    ref2 = np.asarray(nx.google_matrix(G, alpha=0.9, nodelist=nodes2,
+                                       personalization={"a": 2.0, "b": 1.0}))
+    assert np.allclose(m2, ref2)
+    with __import__("pytest").raises(ZeroDivisionError):
+        google_matrix(g, personalization={"a": 0.0})
+
+
+def test_pandas_edgelist_roundtrip(spark):
+    import pandas as pd
+    from networkx_spark.convert import from_pandas_edgelist, to_pandas_edgelist
+    df = pd.DataFrame({"source": ["a", "b"], "target": ["b", "c"],
+                       "w": [2.0, 3.0]})
+    g = from_pandas_edgelist(spark, df, edge_attr="w", directed=True)
+    assert {(r.src, r.dst, r.weight) for r in g.edges.collect()} == \
+        {("a", "b", 2.0), ("b", "c", 3.0)}
+    out = to_pandas_edgelist(g).sort_values("source").reset_index(drop=True)
+    assert list(out["source"]) == ["a", "b"]
+    assert list(out["weight"]) == [2.0, 3.0]
+
+
+def test_universal_ingest_dispatch(spark):
+    import numpy as np
+    import pandas as pd
+    from networkx_spark.convert import to_spark_graph
+    # Graph pass-through + direction coercion
+    g = Graph.from_edge_list(spark, [("a", "b")], directed=True)
+    assert to_spark_graph(spark, g) is g
+    assert to_spark_graph(spark, g, directed=False).directed is False
+    # Spark DataFrame with src/dst and with source/target
+    e1 = spark.createDataFrame([("a", "b")], "src string, dst string")
+    assert to_spark_graph(spark, e1).number_of_edges() == 1
+    e2 = spark.createDataFrame([("a", "b")], "source string, target string")
+    assert to_spark_graph(spark, e2).number_of_edges() == 1
+    # dict-of-dicts vs dict-of-lists sniffing
+    assert to_spark_graph(spark, {"a": {"b": {"weight": 2.0}}}).number_of_edges() == 1
+    assert to_spark_graph(spark, {"a": ["b", "c"]}).number_of_edges() == 2
+    # numpy adjacency, pandas edgelist, plain edge list
+    assert to_spark_graph(spark, np.eye(2)).number_of_edges() == 2
+    pdf = pd.DataFrame({"source": ["x"], "target": ["y"]})
+    assert to_spark_graph(spark, pdf).number_of_edges() == 1
+    assert to_spark_graph(spark, [("u", "v"), ("v", "w")]).number_of_edges() == 2
+    with __import__("pytest").raises(TypeError):
+        to_spark_graph(spark, 42)
