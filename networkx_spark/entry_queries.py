@@ -378,6 +378,54 @@ FROM dc LEFT JOIN intra i ON i.c = dc.c
 """
 
 
+# ------------------------------------------------------- graph: link prediction
+def q_jaccard_lp(spark, sf_dir):
+    """Jaccard link-prediction over the wedge-closure candidate set of the
+    undirected derived graph (``link_prediction.py:115``)."""
+    from networkx_spark.algorithms.link_prediction import jaccard_coefficient
+    g = derived_graph(spark, sf_dir, directed=False)
+    return (jaccard_coefficient(g)
+            .select("u", "v", F.round("score", 6).alias("score")))
+
+
+# shared SQL prelude: undirected adjacency, neighbor-set sizes, wedge pairs
+_LP_PRELUDE = f"""
+WITH ue AS MATERIALIZED ({UEDGES_SQL}),
+adj AS MATERIALIZED (SELECT src AS a, dst AS b FROM ue
+                     UNION ALL SELECT dst, src FROM ue),
+deg AS (SELECT a AS id, count(*) AS d FROM adj GROUP BY a),
+wedge AS MATERIALIZED (
+    SELECT l.a AS w, l.b AS u, r.b AS v
+    FROM adj l JOIN adj r ON l.a = r.a AND l.b < r.b),
+cand AS (SELECT w, u, v FROM wedge
+         WHERE NOT EXISTS (SELECT 1 FROM ue
+                           WHERE ue.src = wedge.u AND ue.dst = wedge.v))
+"""
+
+SQL_JACCARD_LP = _LP_PRELUDE + """
+, cn AS (SELECT u, v, count(*) AS c FROM cand GROUP BY u, v)
+SELECT cn.u, cn.v,
+       round(cn.c / (du.d + dv.d - cn.c), 6) AS score
+FROM cn JOIN deg du ON du.id = cn.u JOIN deg dv ON dv.id = cn.v
+"""
+
+
+def q_adamic_adar_lp(spark, sf_dir):
+    """Adamic-Adar index over the same candidate set
+    (``link_prediction.py:180``)."""
+    from networkx_spark.algorithms.link_prediction import adamic_adar_index
+    g = derived_graph(spark, sf_dir, directed=False)
+    return (adamic_adar_index(g)
+            .select("u", "v", F.round("score", 6).alias("score")))
+
+
+SQL_ADAMIC_ADAR_LP = _LP_PRELUDE + """
+SELECT cand.u, cand.v, round(sum(1.0 / ln(deg.d)), 6) AS score
+FROM cand JOIN deg ON deg.id = cand.w
+GROUP BY cand.u, cand.v
+"""
+
+
 # ------------------------------------------------------------------ graph: scc
 def q_scc(spark, sf_dir):
     from networkx_spark.algorithms.scc import strongly_connected_components
@@ -712,6 +760,44 @@ def _langid_sql() -> str:
 SQL_LANGUAGE_ID = _langid_sql()
 
 
+def q_quality_scores(spark, sf_dir):
+    from networkx_spark.pipeline.text import quality_scores
+    return quality_scores(load(spark, sf_dir, "documents"))
+
+
+def _quality_sql() -> str:
+    from networkx_spark.pipeline.text import LANG_STOPWORDS
+    stop = "|".join(LANG_STOPWORDS["en"])
+    return rf"""
+WITH raw AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS punct,
+         len(regexp_extract_all(lower(text), '\b({stop})\b')) AS stop
+  FROM documents),
+feat AS (
+  SELECT doc_id, n_chars, n_tokens,
+         round(alpha / greatest(n_chars, 1), 6) AS alpha_ratio,
+         round(punct / greatest(n_chars, 1), 6) AS punct_ratio,
+         round(stop / greatest(n_tokens, 1), 6) AS stopword_ratio,
+         round((n_chars - greatest(n_tokens, 1) + 1)
+               / greatest(n_tokens, 1), 6) AS mean_token_len
+  FROM raw)
+SELECT *,
+       CASE WHEN n_tokens < 5 THEN 0.0
+            ELSE round(least(n_tokens / 100.0, 1.0) * 0.3
+                       + alpha_ratio * 0.4
+                       + least(stopword_ratio * 4, 1.0) * 0.3, 6) END AS quality
+FROM feat
+"""
+
+
+SQL_QUALITY_SCORES = _quality_sql()
+
+
 # --------------------------------------------------------------- embeddings
 def q_cosine_topk(spark, sf_dir):
     from networkx_spark.pipeline.similarity import cosine_topk
@@ -866,6 +952,8 @@ QUERIES = {
     "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
     "betweenness_karate": (q_betweenness, SQL_BETWEENNESS),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
+    "jaccard_lp": (q_jaccard_lp, SQL_JACCARD_LP),
+    "adamic_adar_lp": (q_adamic_adar_lp, SQL_ADAMIC_ADAR_LP),
     # documents pipeline
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
@@ -875,6 +963,7 @@ QUERIES = {
     "jaccard_pairs": (q_jaccard_pairs, SQL_JACCARD),
     "lsh_candidates": (q_lsh_candidates, SQL_LSH_CANDIDATES),
     "language_id": (q_language_id, SQL_LANGUAGE_ID),
+    "quality_scores": (q_quality_scores, SQL_QUALITY_SCORES),
     # embeddings
     "cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "embedding_pairs": (q_embedding_pairs, SQL_EMBEDDING_PAIRS),
