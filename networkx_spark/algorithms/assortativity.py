@@ -52,7 +52,13 @@ def degree_assortativity_coefficient(g: Graph, x: str = "out",
     """Pearson correlation of edge-end degrees
     (``correlation.py:19``); NaN on degree-regular graphs (zero variance),
     matching the reference's scipy behaviour."""
-    row = degree_pairs(g, x, y).agg(F.corr("xd", "yd").alias("r")).collect()[0]
+    # explicit covar/stddev form: Spark 4's ANSI mode makes corr() raise
+    # DIVIDE_BY_ZERO on zero-variance input where the reference yields NaN
+    row = (degree_pairs(g, x, y)
+           .agg(F.try_divide(
+               F.covar_samp("xd", "yd"),
+               F.stddev_samp("xd") * F.stddev_samp("yd")).alias("r"))
+           .collect()[0])
     return float("nan") if row["r"] is None else float(row["r"])
 
 

@@ -1,0 +1,112 @@
+"""Eigenvector centrality power iteration.
+
+Reference kernel ``eigenvector_centrality``
+(``networkx/algorithms/centrality/eigenvector.py:8,203-230``):
+
+* ``x0`` = all-ones (or ``nstart``), normalized by its sum; all-zero
+  ``nstart`` raises; the null graph raises (``:196-207``),
+* per iteration: ``x = xlast + xlast·A`` — the (A+I) shift that guarantees
+  convergence on bipartite structures (``:212-218``),
+* L2 (hypot) normalization each iteration, 0-norm → 1 (``:223-226``),
+* stop when ``Σ|x - xlast| < n·tol`` AFTER normalization (``:228-230``),
+* raise :class:`PowerIterationFailedConvergence` after ``max_iter``.
+
+Superstep = one scatter (join on ``src``, groupBy ``dst``) + the +I
+self-term via a left join back onto the previous state.  The L2 norm rides
+the checkpoint write as an observed metric; normalization is applied
+lazily as a literal multiplier next superstep (the HITS pattern,
+``hits.py``), so the loop is 1 job/superstep (+1 residual job when ``tol``
+is set, matching ``hits.py:89-92``).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from networkx_spark.graph import Graph, SRC, DST, WEIGHT, ID
+from networkx_spark.algorithms.pagerank import PowerIterationFailedConvergence
+from networkx_spark.superstep import SuperstepRunner, fixed_plan
+
+
+def eigenvector_centrality(
+    g: Graph,
+    max_iter: int = 100,
+    tol: float | None = 1.0e-6,
+    nstart: Optional[dict] = None,
+    weight: bool = False,
+    checkpoint_dir: Optional[str] = None,
+    checkpoint_interval: int = 1,
+) -> DataFrame:
+    """Returns (id, centrality).  ``weight=False`` matches the reference
+    default (``weight=None`` → every edge counts 1); ``tol=None`` runs
+    exactly ``max_iter`` supersteps (fixed-iteration mode for the SQL
+    oracle, mirroring ``pagerank(tol=None)``)."""
+    spark = g.edges.sparkSession
+    vertices = g.vertices().cache()
+    n = vertices.count()
+    if n == 0:
+        raise ValueError(
+            "cannot compute centrality for the null graph "
+            "(reference NetworkXPointlessConcept, eigenvector.py:196)")
+
+    adj = g.symmetrized().select(SRC, DST, WEIGHT)
+    if not weight:
+        adj = adj.withColumn(WEIGHT, F.lit(1.0))
+    adj = adj.cache()
+
+    if nstart is None:
+        x = vertices.withColumn("x", F.lit(1.0 / n))
+    else:
+        if all(v == 0 for v in nstart.values()):
+            raise ValueError("initial vector cannot have all zero values")
+        s = float(sum(nstart.values()))
+        rows = [(str(k), float(v) / s) for k, v in nstart.items()]
+        m = spark.createDataFrame(rows, "id string, x double")
+        x = (vertices.join(m, ID, "left")
+             .select(ID, F.coalesce("x", F.lit(0.0)).alias("x")))
+
+    runner = SuperstepRunner(checkpoint_dir, name="eigenvector_state",
+                             interval=checkpoint_interval)
+    scale = 1.0        # pending 1/norm multiplier from the previous write
+    try:
+      with fixed_plan(spark):
+        x = runner.cut(x)
+        for it in range(max_iter):
+            xs = x.select(ID, (F.col("x") * F.lit(scale)).alias("x"))
+            contrib = (xs.join(adj, xs[ID] == adj[SRC])
+                       .groupBy(F.col(DST).alias(ID))
+                       .agg(F.sum(F.col("x") * F.col(WEIGHT)).alias("_c")))
+            # x_raw = xlast + xlast·A  (the +I shift); carry xlast for the
+            # post-normalization residual
+            new = (xs.withColumnRenamed("x", "_prev")
+                   .join(contrib, ID, "left")
+                   .select(ID,
+                           (F.col("_prev") + F.coalesce("_c", F.lit(0.0)))
+                           .alias("x"),
+                           "_prev"))
+            obs = Observation()
+            state = runner.checkpoint(
+                new.observe(obs, F.sum(F.col("x") * F.col("x")).alias("ss")),
+                it, rows=n, extra={"algorithm": "eigenvector"})
+            norm = math.sqrt(obs.get["ss"] or 0.0) or 1.0
+            scale = 1.0 / norm
+            if tol is not None:
+                err = (state.agg(F.sum(F.abs(F.col("x") * F.lit(scale)
+                                             - F.col("_prev"))))
+                       .collect()[0][0]) or 0.0
+                runner.update_last(residual=err)
+                if err < n * tol:
+                    return state.select(
+                        ID, (F.col("x") * F.lit(scale)).alias("centrality"))
+            x = state.drop("_prev")
+        if tol is None:
+            return x.select(ID, (F.col("x") * F.lit(scale)).alias("centrality"))
+        raise PowerIterationFailedConvergence(max_iter)
+    finally:
+        vertices.unpersist()
+        adj.unpersist()
+        runner.close()

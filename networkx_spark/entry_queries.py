@@ -234,6 +234,74 @@ FROM hf{iters} hf JOIN af{iters} af USING (id)""")
 SQL_HITS = _hits_sql()
 
 
+# ----------------------------------------------- graph: eigenvector + katz
+EV_ITERS = 10
+KATZ_ALPHA = 0.01
+KATZ_ITERS = 10
+
+
+def q_eigenvector(spark, sf_dir):
+    """Fixed-iteration eigenvector centrality on the derived graph
+    (``centrality/eigenvector.py:203-230`` semantics, ``tol=None`` mirrors
+    the oracle's unrolled supersteps)."""
+    from networkx_spark.algorithms.eigenvector import eigenvector_centrality
+    g = derived_graph(spark, sf_dir)
+    r = eigenvector_centrality(g, max_iter=EV_ITERS, tol=None)
+    return r.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def _eigenvector_sql(iters: int = EV_ITERS) -> str:
+    """Unrolled x = (xlast + xlast·A) / ‖·‖₂ supersteps."""
+    parts = [f"e AS MATERIALIZED ({EDGES_SQL})",
+             f"v AS MATERIALIZED ({VERTS_SQL})",
+             "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v)",
+             "x0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS x FROM v)"]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"xr{i} AS MATERIALIZED (SELECT xp.id, xp.x + COALESCE(c.s, 0) AS x "
+            f"FROM x{p} xp LEFT JOIN (SELECT e.dst AS id, sum(x.x) AS s "
+            f"FROM x{p} x JOIN e ON x.id = e.src GROUP BY e.dst) c USING (id))")
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT id, "
+            f"x / (SELECT sqrt(sum(x*x)) FROM xr{i}) AS x FROM xr{i})")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(x, 6) AS centrality FROM x{iters}")
+
+
+SQL_EIGENVECTOR = _eigenvector_sql()
+
+
+def q_katz(spark, sf_dir):
+    """Fixed-iteration Katz centrality on the derived graph
+    (``centrality/katz.py:150-192`` semantics)."""
+    from networkx_spark.algorithms.katz import katz_centrality
+    g = derived_graph(spark, sf_dir)
+    r = katz_centrality(g, alpha=KATZ_ALPHA, beta=1.0, max_iter=KATZ_ITERS,
+                        tol=None, normalized=True)
+    return r.select("id", F.round("centrality", 6).alias("centrality"))
+
+
+def _katz_sql(iters: int = KATZ_ITERS, alpha: float = KATZ_ALPHA) -> str:
+    """Unrolled x = α·(xlast·A) + 1 supersteps + final 1/‖·‖₂ scaling."""
+    parts = [f"e AS MATERIALIZED ({EDGES_SQL})",
+             f"v AS MATERIALIZED ({VERTS_SQL})",
+             "x0 AS MATERIALIZED (SELECT id, 0.0 AS x FROM v)"]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT v.id, "
+            f"{alpha}::DOUBLE * COALESCE(c.s, 0) + 1.0::DOUBLE AS x "
+            f"FROM v LEFT JOIN (SELECT e.dst AS id, sum(x.x) AS s "
+            f"FROM x{p} x JOIN e ON x.id = e.src GROUP BY e.dst) c USING (id))")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(x / (SELECT sqrt(sum(x*x)) FROM x{iters}), 6)"
+            + f" AS centrality FROM x{iters}")
+
+
+SQL_KATZ = _katz_sql()
+
+
 # ------------------------------------------------------------------ graph: bfs
 def q_bfs(spark, sf_dir):
     """Unweighted single-source distances from vertex 0 on the undirected
@@ -952,6 +1020,8 @@ QUERIES = {
     "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
     "betweenness_karate": (q_betweenness, SQL_BETWEENNESS),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
+    "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
+    "katz": (q_katz, SQL_KATZ),
     "jaccard_lp": (q_jaccard_lp, SQL_JACCARD_LP),
     "adamic_adar_lp": (q_adamic_adar_lp, SQL_ADAMIC_ADAR_LP),
     # documents pipeline
