@@ -57,7 +57,13 @@ def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
         nbrs = nbrs.repartition(n_part, ID, SALT).cache()
     else:
         nbrs = nbrs.repartition(n_part, ID).cache()
-    labels = vertices.select(ID, F.col(ID).alias("component"))
+    # bucketed snapshots: the label re-read keeps HashPartitioning(id), so
+    # the scatter join against the co-partitioned cached adjacency and the
+    # label-update join need no exchange — the min-agg partials are the
+    # superstep's only shuffle (see SuperstepRunner.enable_bucketing)
+    runner.enable_bucketing([ID], n_part)
+    labels = (vertices.select(ID, F.col(ID).alias("component"))
+              .repartition(n_part, ID))
     n = vertices.count()          # constant state cardinality: skip the
     start = 0                     # per-superstep count job in checkpoint()
     if resume:

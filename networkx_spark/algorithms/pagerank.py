@@ -171,13 +171,23 @@ def pagerank(
         x0 = x0.withColumn("rank", F.col("rank") / F.lit(s))
 
     # the state carries the static per-vertex columns so each superstep is a
-    # single join against the contributions — no repeated statics join
-    state = statics.join(x0, ID).select(ID, "rank", *static_cols)
+    # single join against the contributions — no repeated statics join.
+    # Pre-partitioned by id so the first bucketed snapshot writes one file
+    # per bucket (subsequent supersteps inherit the partitioning from the
+    # id-keyed state join, so their writes are shuffle-free too).
+    state = (statics.join(x0, ID).select(ID, "rank", *static_cols)
+             .repartition(n_part, ID))
 
     own_runner = runner is None
     if own_runner:
         runner = SuperstepRunner(checkpoint_dir, name="pagerank_state",
                                  interval=checkpoint_interval)
+    # bucketed+sorted snapshots: the state re-read keeps HashPartitioning(id)
+    # and per-bucket order, so the scatter join (id = src, co-partitioned
+    # with the cached edge table) and the contribution join need no state
+    # exchange and no sort — the scatter partials become the superstep's
+    # only shuffle
+    runner.enable_bucketing([ID], n_part)
     start_step = 0
     if resume:
         step, saved = runner.latest(spark)

@@ -73,6 +73,10 @@ def sssp_distances(g: Graph, source, weight: bool = True,
 
     runner = SuperstepRunner(checkpoint_dir, name="sssp_state",
                              interval=checkpoint_interval)
+    # bucketed snapshots: frontier⋈adjacency (id = src, co-partitioned
+    # cache) and the state merge join re-read the state with
+    # HashPartitioning(id) — the relax partials are the only shuffle
+    runner.enable_bucketing([ID], n_part)
     try:
       with fixed_plan(spark):
         # state: (id, distance, improved) — improved marks last superstep's

@@ -65,6 +65,13 @@ def get_spark(
     java_opts = os.environ.get("SPARK_GRAFT_JAVA_OPTS")
     if java_opts:
         builder = builder.config("spark.driver.extraJavaOptions", java_opts)
+    # ad-hoc conf overrides for experiments (JSON dict), e.g.
+    # SPARK_GRAFT_EXTRA_CONF='{"spark.io.compression.codec":"zstd"}'
+    extra_env = os.environ.get("SPARK_GRAFT_EXTRA_CONF")
+    if extra_env:
+        import json
+        for k, v in json.loads(extra_env).items():
+            builder = builder.config(k, str(v))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -115,8 +115,64 @@ class SuperstepRunner:
         self._flushed = 0
         self._scratch: Optional[str] = None
         self._scratch_count = 0
+        self.bucket_cols: Optional[list[str]] = None
+        self.n_buckets: Optional[int] = None
+        self._tables: dict[str, str] = {}   # snapshot path -> catalog table
         if self.dir:
             os.makedirs(self.dir, exist_ok=True)
+
+    # ------------------------------------------------------------- bucketing
+    def enable_bucketing(self, cols, n_buckets: int) -> None:
+        """Write snapshots as bucketed(+sorted) tables instead of plain
+        parquet.
+
+        A plain parquet round-trip forgets the state's partitioning, so the
+        next superstep re-shuffles the state for every key-join even though
+        the write produced exactly hash-partitioned output.  A bucketed
+        table scan exposes ``HashPartitioning(cols, n_buckets)`` (and, with
+        one file per bucket, the per-bucket sort order), which Spark's
+        bucket hash shares with ``repartition(n, cols)`` — so a state
+        re-read joins a co-partitioned cached edge table or an aggregation
+        keyed on the same column with NO exchange and NO sort.  For the
+        PageRank superstep this removes both 16M-row state exchanges,
+        leaving the scatter partials as the only shuffle (cluster
+        analogue: the Iceberg state table is bucket-partitioned to match
+        the bucketed edge table).  Callers that already pre-partition their
+        state by ``cols`` before the write pay no extra shuffle on the
+        write side either.  Idempotent; algorithms call it with their
+        state key."""
+        if self.bucket_cols is None:
+            self.bucket_cols = list(cols)
+            self.n_buckets = int(n_buckets)
+
+    def _write_read(self, df: DataFrame, path: str) -> DataFrame:
+        """Write a snapshot and return the lineage-cut re-read."""
+        spark = df.sparkSession
+        if self.bucket_cols:
+            import re
+            tbl = ("nxs_" + re.sub(r"[^A-Za-z0-9_]", "_", self.name)
+                   + f"_{self._scratch_count}_{abs(hash(path)) % 10 ** 8}")
+            old = self._tables.pop(path, None)
+            if old:
+                spark.sql(f"DROP TABLE IF EXISTS {old}")
+            (df.write.mode("overwrite").format("parquet")
+             .bucketBy(self.n_buckets, *self.bucket_cols)
+             .sortBy(*self.bucket_cols)
+             .option("path", path).saveAsTable(tbl))
+            self._tables[path] = tbl
+            return spark.table(tbl)
+        df.write.mode("overwrite").parquet(path)
+        # explicit schema: skips the driver-side footer read on every
+        # superstep (a fixed cost that would not amortize with cores)
+        return spark.read.schema(df.schema).parquet(path)
+
+    def _drop_table(self, spark, path: str) -> None:
+        tbl = self._tables.pop(path, None)
+        if tbl:
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+            except Exception:
+                pass
 
     # ----------------------------------------------------------------- paths
     def _step_path(self, step: int) -> str:
@@ -140,15 +196,13 @@ class SuperstepRunner:
         into the scratch dir, rotating old snapshots)."""
         self._scratch_count += 1
         path = os.path.join(self._scratch_dir(), f"ck{self._scratch_count:06d}")
-        df.write.mode("overwrite").parquet(path)
-        # explicit schema: skips the driver-side footer read on every
-        # superstep (a fixed cost that would not amortize with cores)
-        out = df.sparkSession.read.schema(df.schema).parquet(path)
+        out = self._write_read(df, path)
         if self.keep_scratch > 0:
             old = self._scratch_count - self.keep_scratch
             if old > 0:
-                shutil.rmtree(os.path.join(self._scratch_dir(), f"ck{old:06d}"),
-                              ignore_errors=True)
+                old_path = os.path.join(self._scratch_dir(), f"ck{old:06d}")
+                self._drop_table(df.sparkSession, old_path)
+                shutil.rmtree(old_path, ignore_errors=True)
         return out
 
     # ----------------------------------------------------------------- state
@@ -180,9 +234,9 @@ class SuperstepRunner:
         if durable:
             path = self._step_path(step)
             if os.path.exists(path):
+                self._drop_table(df.sparkSession, path)
                 shutil.rmtree(path)
-            df.write.mode("overwrite").parquet(path)
-            out = df.sparkSession.read.schema(df.schema).parquet(path)
+            out = self._write_read(df, path)
             nbytes = sum(
                 os.path.getsize(os.path.join(r, f))
                 for r, _, fs in os.walk(path) for f in fs)
