@@ -678,6 +678,37 @@ FROM v LEFT JOIN t USING (id) LEFT JOIN deg USING (id)
 
 
 # --------------------------------------------------------------- documents ops
+def q_multigraph_degree(spark, sf_dir):
+    """Parallel-edge (MultiGraph) degrees over the uncollapsed lineitem
+    graph: every lineitem row is its own keyed edge (weight l_quantity),
+    so degrees count each parallel edge separately — the reference's
+    MultiGraph degree semantics (``classes/multigraph.py:14``,
+    ``reportviews.py:521``) that :class:`Graph`'s collapse-at-build
+    deliberately discards."""
+    from networkx_spark.multigraph import MultiGraph
+    li = load(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_orderkey") % MOD).alias("src"),
+                   (F.col("l_partkey") % DST_MOD).alias("dst"),
+                   F.col("l_quantity").cast("double").alias("w"))
+         .filter(F.col("src") != F.col("dst")))
+    mg = MultiGraph.from_edges(e, directed=True, weight="w")
+    wd = mg.degrees(weighted=True).withColumnRenamed("degree", "wdegree")
+    return mg.degrees().join(wd, "id").select("id", "degree", "wdegree")
+
+
+SQL_MULTIGRAPH_DEGREE = f"""
+WITH me AS (
+  SELECT l_orderkey % {MOD} AS src, l_partkey % {DST_MOD} AS dst,
+         CAST(l_quantity AS DOUBLE) AS w
+  FROM lineitem WHERE l_orderkey % {MOD} <> l_partkey % {DST_MOD}
+), ends AS (
+  SELECT src AS id, w FROM me UNION ALL SELECT dst AS id, w FROM me
+)
+SELECT id, CAST(count(*) AS BIGINT) AS degree, sum(w) AS wdegree
+FROM ends GROUP BY id
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from networkx_spark.pipeline.dedup import exact_duplicates
     return exact_duplicates(load(spark, sf_dir, "documents")).select("doc_id", "canonical_id")
@@ -1016,6 +1047,7 @@ QUERIES = {
     "core_number": (q_core_number, SQL_CORE_NUMBER),
     "strongly_connected_components": (q_scc, SQL_SCC),
     "clustering_weighted": (q_clustering_weighted, SQL_CLUSTERING_WEIGHTED),
+    "multigraph_degree": (q_multigraph_degree, SQL_MULTIGRAPH_DEGREE),
     "sssp_weighted": (q_sssp_weighted, SQL_SSSP),
     "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
     "betweenness_karate": (q_betweenness, SQL_BETWEENNESS),

@@ -140,7 +140,21 @@ class SuperstepRunner:
         the bucketed edge table).  Callers that already pre-partition their
         state by ``cols`` before the write pay no extra shuffle on the
         write side either.  Idempotent; algorithms call it with their
-        state key."""
+        state key.
+
+        DEFAULT OFF (opt in with ``NXS_BUCKETED=1``): measured on this
+        box at the 16M-page protocol input (same box, back to back,
+        local[8], 12 supersteps — see BENCH.md appendix), the bucketed
+        loop's steady superstep was 19.5s vs 16.0s plain and its warmup
+        ~2× longer: the write-side (bucketId, id) sort buffers the whole
+        partition and breaks the write stage's codegen pipeline, costing
+        more than the two avoided 16M-row exchanges return, because the
+        exchanges were never the bottleneck (the scatter partials shuffle
+        and the agg dominate).  On a real cluster, where an exchange is a
+        network round-trip instead of an in-process memcpy, the trade
+        flips — the option stays wired and tested for that deployment."""
+        if os.environ.get("NXS_BUCKETED", "0") != "1":
+            return
         if self.bucket_cols is None:
             self.bucket_cols = list(cols)
             self.n_buckets = int(n_buckets)

@@ -44,12 +44,14 @@ import os
 import statistics
 import subprocess
 import sys
+import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def worker(cores: int, pages: int, supersteps: int, kernel: str = "row") -> None:
+def worker(cores: int, pages: int, supersteps: int, kernel: str = "row",
+           shuffle_factor: int = 1, edges_path: str = "") -> None:
     import time
 
     from pyspark.sql import functions as F
@@ -65,8 +67,14 @@ def worker(cores: int, pages: int, supersteps: int, kernel: str = "row") -> None
     # task-launch fixed costs; map-side combine bounds hot-vertex skew in
     # the scatter agg, so the coarser tasks stay balanced)
     spark = get_spark(f"scaling-{cores}-{os.getpid()}", cores=cores,
-                      shuffle_partitions=cores)
-    edges = web_edges(spark, pages, seed=42, as_urls=False).cache()
+                      shuffle_partitions=cores * shuffle_factor)
+    # the edge table is the protocol input (north rule: engine over an
+    # edge table); it is generated ONCE by the parent and read here, so
+    # per-worker wall-clock measures the algorithm, not the generator
+    if edges_path:
+        edges = spark.read.parquet(edges_path).cache()
+    else:
+        edges = web_edges(spark, pages, seed=42, as_urls=False).cache()
     m = edges.count()
     verts = spark.range(pages).select(F.col("id").cast("long"))
     g = Graph.from_edges(edges, vertices=verts)
@@ -108,7 +116,8 @@ def _spawn(cores: int, args) -> subprocess.Popen:
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--pages", str(args.pages), "--supersteps", str(args.supersteps),
-         "--kernel", args.kernel],
+         "--kernel", args.kernel, "--shuffle-factor", str(args.shuffle_factor),
+         "--edges-path", args.edges_path],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
         text=True, cwd=REPO)
 
@@ -119,7 +128,16 @@ def _collect(proc: subprocess.Popen) -> dict:
     if not line:
         sys.stderr.write(out[-2000:] + err[-2000:])
         raise SystemExit("worker produced no result")
-    return json.loads(line[-1][len("WORKER_JSON "):])
+    res = json.loads(line[-1][len("WORKER_JSON "):])
+    print("COLLECTED " + json.dumps(res), flush=True)   # survives later crashes
+    return res
+
+
+def _collect_safe(proc: subprocess.Popen):
+    try:
+        return _collect(proc)
+    except SystemExit:
+        return None
 
 
 def measure_bandwidth() -> list[tuple[int, float]]:
@@ -154,15 +172,35 @@ def main() -> None:
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--supersteps", type=int, default=12)
     ap.add_argument("--kernel", default="row", choices=["row", "blocked"])
+    # >1 = N partitions per core: smooths reducer-side skew tails (power-law
+    # in-degree) at the cost of per-task fixed overhead
+    ap.add_argument("--shuffle-factor", type=int, default=1)
+    # pre-generated edge parquet shared by all workers ("" = each worker
+    # generates its own, the round-1/2 behaviour)
+    ap.add_argument("--edges-path", default="AUTO")
     ap.add_argument("--driver-mem", default="48g")
+    ap.add_argument("--control-driver-mem", default="24g")
     ap.add_argument("--no-control", action="store_true")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
 
     if os.environ.get("NXS_SCALING_WORKER"):
         worker(int(os.environ["NXS_SCALING_WORKER"]), args.pages, args.supersteps,
-               args.kernel)
+               args.kernel, args.shuffle_factor, args.edges_path)
         return
+
+    if args.edges_path == "AUTO":
+        # generate the deterministic input once, at full parallelism
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+        args.edges_path = os.path.join(base, f"nxs_protocol_edges_{args.pages}")
+        if not os.path.exists(os.path.join(args.edges_path, "_SUCCESS")):
+            from networkx_spark.session import get_spark
+            from networkx_spark.generators import web_edges
+            spark = get_spark("edges-gen", cores=os.cpu_count(),
+                              shuffle_partitions=os.cpu_count())
+            web_edges(spark, args.pages, seed=42, as_urls=False) \
+                .write.mode("overwrite").parquet(args.edges_path)
+            spark.stop()
 
     results = []
     for cores in [int(c) for c in args.cores.split(",")]:
@@ -175,12 +213,23 @@ def main() -> None:
 
     control = None
     if not args.no_control:
-        procs = [_spawn(lo["cores"], args) for _ in range(ratio)]
-        control = [_collect(p) for p in procs]
-        ctrl_agg = sum(c["edges_per_sec_steady"] for c in control)
-        eff_ctrl = hi["edges_per_sec_steady"] / ctrl_agg
+        # concurrent heaps must fit in RAM together (a dead control JVM
+        # otherwise loses the whole run); each still holds the ~4 GB cache
+        ctrl_args = argparse.Namespace(**vars(args))
+        ctrl_args.driver_mem = args.control_driver_mem
+        procs = [_spawn(lo["cores"], ctrl_args) for _ in range(ratio)]
+        control = [c for c in (_collect_safe(p) for p in procs) if c]
+        if control:
+            ctrl_agg = sum(c["edges_per_sec_steady"] for c in control)
+            ctrl_agg *= ratio / len(control)     # scale if a control died
+            eff_ctrl = hi["edges_per_sec_steady"] / ctrl_agg
+        else:
+            control = None
 
     bw = measure_bandwidth()
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from cpu_control import sweep as cpu_sweep
+    cpu = cpu_sweep()
 
     lines = [
         "# BENCH — PageRank scaling evidence (N → 4N parallelism)",
@@ -232,6 +281,16 @@ def main() -> None:
         "| concurrent streams | aggregate GB/s |",
         "|---|---|",
         *[f"| {n} | {gbs} |" for n, gbs in bw],
+        "",
+        "**Box CPU envelope (cache-resident integer-hash loop, no memory traffic):**",
+        "",
+        "| concurrent processes | aggregate M ops/s |",
+        "|---|---|",
+        *[f"| {n} | {ops} |" for n, ops in cpu],
+        "",
+        f"Pure-CPU aggregate grows {cpu[-1][1] / cpu[1][1]:.2f}× from 8→32",
+        "processes — the ceiling the hypervisor's vCPU scheduling allows any",
+        "job on this box, independent of the engine and of memory bandwidth.",
         "",
         f"Aggregate bandwidth grows only {bw[-1][1] / bw[0][1]:.1f}× from 1→32",
         "streams on this VM (and fluctuates run-to-run under hypervisor",
