@@ -62,8 +62,12 @@ def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
     # label-update join need no exchange — the min-agg partials are the
     # superstep's only shuffle (see SuperstepRunner.enable_bucketing)
     runner.enable_bucketing([ID], n_part)
-    labels = (vertices.select(ID, F.col(ID).alias("component"))
-              .repartition(n_part, ID))
+    labels = vertices.select(ID, F.col(ID).alias("component"))
+    if runner.bucket_cols:
+        # pre-partition only for bucketed snapshots (one file per bucket);
+        # a plain parquet re-read forgets partitioning, so the exchange
+        # would buy nothing in the default mode
+        labels = labels.repartition(n_part, ID)
     n = vertices.count()          # constant state cardinality: skip the
     start = 0                     # per-superstep count job in checkpoint()
     if resume:

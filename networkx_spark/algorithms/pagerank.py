@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from typing import Optional, Union
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph, SRC, DST, WEIGHT, ID
@@ -93,91 +93,6 @@ def pagerank(
     if not weight:
         adj = adj.withColumn(WEIGHT, F.lit(1.0))
 
-    # loop-invariant: right-stochastic normalization + dangling set.
-    # The cached table is pre-hash-partitioned on src: InMemoryRelation
-    # preserves outputPartitioning, so every superstep's scatter join
-    # shuffles ONLY the rank vector, never the (much larger) edge table —
-    # measured 2-3x per-superstep (cluster analogue: bucketed edge table).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    out_w = adj.groupBy(SRC).agg(F.sum(WEIGHT).alias("_S"))
-    # sortWithinPartitions: InMemoryRelation preserves the child ordering,
-    # so the per-superstep sort-merge join re-sorts only the rank vector,
-    # never the (much larger) edge side — measured ~10% per superstep
-    norm_edges = (adj.join(out_w, SRC)
-                  .filter(F.col("_S") != 0)
-                  .select(SRC, DST, (F.col(WEIGHT) / F.col("_S")).alias("_w")))
-    hot = None
-    if salt_threshold is not None:
-        # hot-vertex salting (partitioning.py): spread a hot src's edge
-        # rows across n_salts scatter-join partitions; the rank vector's
-        # hot rows are replicated per salt each superstep
-        from networkx_spark.partitioning import SALT, hot_keys, salt_rows
-        hot = (hot_keys(norm_edges, SRC, salt_threshold)
-               .select(F.col(SRC).alias(ID))).cache()
-        norm_edges = (salt_rows(norm_edges, hot.withColumnRenamed(ID, SRC),
-                                SRC, DST, n_salts)
-                      .repartition(n_part, SRC, SALT)
-                      .sortWithinPartitions(SRC)).cache()
-    else:
-        norm_edges = (norm_edges.repartition(n_part, SRC)
-                      .sortWithinPartitions(SRC)).cache()
-    non_dangling = out_w.filter(F.col("_S") != 0).select(F.col(SRC).alias(ID))
-    dangling_set = vertices.join(non_dangling, ID, "anti").cache()
-
-    # personalization p (``:475-481``); the common web case (no
-    # personalization, no custom dangling weights) keeps p and dw as
-    # literal 1/N instead of per-vertex columns — halves state I/O
-    uniform = personalization is None and dangling is None
-    if personalization is None:
-        p = vertices.withColumn("p", F.lit(1.0 / n))
-    else:
-        p = _vector_df(spark, vertices, personalization, "p")
-        s = p.agg(F.sum("p")).collect()[0][0] or 0.0
-        if s == 0:
-            raise ZeroDivisionError("personalization vector sums to zero")
-        p = p.withColumn("p", F.col("p") / F.lit(s))
-
-    # dangling weights default to p (``:483-488``)
-    if dangling is None:
-        dw = p.select(ID, F.col("p").alias("dw"))
-    else:
-        dw = _vector_df(spark, vertices, dangling, "dw")
-        s = dw.agg(F.sum("dw")).collect()[0][0] or 0.0
-        if s == 0:
-            raise ZeroDivisionError("dangling vector sums to zero")
-        dw = dw.withColumn("dw", F.col("dw") / F.lit(s))
-
-    flag = dangling_set.withColumn("_d", F.lit(True))
-    if uniform:
-        statics = (vertices.join(flag, ID, "left")
-                   .select(ID, F.coalesce("_d", F.lit(False)).alias("is_dangling")))
-        static_cols = ["is_dangling"]
-        p_col, dw_col = F.lit(1.0 / n), F.lit(1.0 / n)
-    else:
-        statics = (p.join(dw, ID)
-                   .join(flag, ID, "left")
-                   .select(ID, "p", "dw", F.coalesce("_d", F.lit(False)).alias("is_dangling")))
-        static_cols = ["p", "dw", "is_dangling"]
-        p_col, dw_col = F.col("p"), F.col("dw")
-
-    # x0 (``:468-472``)
-    if nstart is None:
-        x0 = vertices.withColumn("rank", F.lit(1.0 / n))
-    else:
-        x0 = _vector_df(spark, vertices, nstart, "rank")
-        s = x0.agg(F.sum("rank")).collect()[0][0] or 0.0
-        if s == 0:
-            raise ZeroDivisionError("nstart vector sums to zero")
-        x0 = x0.withColumn("rank", F.col("rank") / F.lit(s))
-
-    # the state carries the static per-vertex columns so each superstep is a
-    # single join against the contributions — no repeated statics join.
-    # Pre-partitioned by id so the first bucketed snapshot writes one file
-    # per bucket (subsequent supersteps inherit the partitioning from the
-    # id-keyed state join, so their writes are shuffle-free too).
-    state = (statics.join(x0, ID).select(ID, "rank", *static_cols)
-             .repartition(n_part, ID))
-
     own_runner = runner is None
     if own_runner:
         runner = SuperstepRunner(checkpoint_dir, name="pagerank_state",
@@ -187,17 +102,118 @@ def pagerank(
     # with the cached edge table) and the contribution join need no state
     # exchange and no sort — the scatter partials become the superstep's
     # only shuffle
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
     runner.enable_bucketing([ID], n_part)
-    start_step = 0
-    if resume:
-        step, saved = runner.latest(spark)
-        if saved is not None:
-            state, start_step = saved.drop("_prev"), step + 1
+
+    norm_edges = hot = None
     try:
+      # AQE pinned off for the WHOLE algorithm (not just the loop): the
+      # setup's normalization shuffle must land on exactly n_part partitions
+      # so the cached edge table stays co-partitioned with every superstep's
+      # rank-vector exchange; AQE's runtime coalescing would give the cache
+      # a data-dependent partition count and force a per-superstep edge-side
+      # re-shuffle.
       with fixed_plan(spark):
-        state = runner.cut(state)
-        dmass = (state.agg(F.sum(F.when(F.col("is_dangling"), F.col("rank"))
-                                 .otherwise(F.lit(0.0)))).collect()[0][0]) or 0.0
+        # loop-invariant: right-stochastic normalization.  ONE window over
+        # src replaces round 3's groupBy + join + repartition + sort chain
+        # (4 passes over the edge table → 1 shuffle): WindowExec itself
+        # demands HashPartitioning(src) + sort-by-src, which is exactly the
+        # layout the per-superstep scatter join wants, so the cached table
+        # comes out pre-partitioned AND pre-sorted for free and every
+        # superstep shuffles ONLY the rank vector — measured 2-3× per
+        # superstep (cluster analogue: bucketed edge table).  Zero rows
+        # stay zero (``pagerank_alg.py:461-465``).
+        norm_edges = (adj.withColumn("_S", F.sum(WEIGHT).over(Window.partitionBy(SRC)))
+                      .filter(F.col("_S") != 0)
+                      .select(SRC, DST, (F.col(WEIGHT) / F.col("_S")).alias("_w")))
+        # non-dangling = nonzero out-weight sum (``pagerank_alg.py:489``);
+        # over the cached src-partitioned table this distinct is exchange-free
+        non_dangling = norm_edges.select(F.col(SRC).alias(ID)).distinct()
+        if salt_threshold is not None:
+            # hot-vertex salting (partitioning.py): spread a hot src's edge
+            # rows across n_salts scatter-join partitions; the rank vector's
+            # hot rows are replicated per salt each superstep
+            from networkx_spark.partitioning import SALT, hot_keys, salt_rows
+            hot = (hot_keys(norm_edges, SRC, salt_threshold)
+                   .select(F.col(SRC).alias(ID))).cache()
+            norm_edges = (salt_rows(norm_edges, hot.withColumnRenamed(ID, SRC),
+                                    SRC, DST, n_salts)
+                          .repartition(n_part, SRC, SALT)
+                          .sortWithinPartitions(SRC)).cache()
+        else:
+            norm_edges = norm_edges.cache()
+
+        # personalization p (``:475-481``); the common web case (no
+        # personalization, no custom dangling weights) keeps p and dw as
+        # literal 1/N instead of per-vertex columns — halves state I/O
+        uniform = personalization is None and dangling is None
+        if personalization is None:
+            p = None
+        else:
+            p = _vector_df(spark, vertices, personalization, "p")
+            s = p.agg(F.sum("p")).collect()[0][0] or 0.0
+            if s == 0:
+                raise ZeroDivisionError("personalization vector sums to zero")
+            p = p.withColumn("p", F.col("p") / F.lit(s))
+
+        # dangling weights default to p (``:483-488``)
+        if dangling is None:
+            dw = p.select(ID, F.col("p").alias("dw")) if p is not None else None
+        else:
+            dw = _vector_df(spark, vertices, dangling, "dw")
+            s = dw.agg(F.sum("dw")).collect()[0][0] or 0.0
+            if s == 0:
+                raise ZeroDivisionError("dangling vector sums to zero")
+            dw = dw.withColumn("dw", F.col("dw") / F.lit(s))
+
+        # statics in ONE left join: is_dangling = "not in the non-dangling
+        # set" (round 3 materialized the dangling set with an anti-join and
+        # re-joined it — two extra 16M-row exchanges at protocol scale)
+        flag = non_dangling.withColumn("_nd", F.lit(True))
+        if uniform:
+            statics = (vertices.join(flag, ID, "left")
+                       .select(ID, F.col("_nd").isNull().alias("is_dangling")))
+            static_cols = ["is_dangling"]
+            p_col, dw_col = F.lit(1.0 / n), F.lit(1.0 / n)
+        else:
+            if p is None:
+                p = vertices.withColumn("p", F.lit(1.0 / n))
+            if dw is None:
+                dw = p.select(ID, F.col("p").alias("dw"))
+            statics = (p.join(dw, ID)
+                       .join(flag, ID, "left")
+                       .select(ID, "p", "dw", F.col("_nd").isNull().alias("is_dangling")))
+            static_cols = ["p", "dw", "is_dangling"]
+            p_col, dw_col = F.col("p"), F.col("dw")
+
+        # x0 (``:468-472``); uniform start is a literal column — no join
+        if nstart is None:
+            state = statics.select(ID, F.lit(1.0 / n).alias("rank"), *static_cols)
+        else:
+            x0 = _vector_df(spark, vertices, nstart, "rank")
+            s = x0.agg(F.sum("rank")).collect()[0][0] or 0.0
+            if s == 0:
+                raise ZeroDivisionError("nstart vector sums to zero")
+            x0 = x0.withColumn("rank", F.col("rank") / F.lit(s))
+            state = statics.join(x0, ID).select(ID, "rank", *static_cols)
+        if runner.bucket_cols:
+            # pre-partitioned by id so the first bucketed snapshot writes one
+            # file per bucket; pointless for plain parquet (re-read forgets
+            # partitioning), so gated on bucketing
+            state = state.repartition(n_part, ID)
+
+        start_step = 0
+        if resume:
+            step, saved = runner.latest(spark)
+            if saved is not None:
+                state, start_step = saved.drop("_prev"), step + 1
+        # the initial dangling mass rides the first lineage cut as an
+        # observed metric — no separate aggregation job
+        obs0 = Observation()
+        state = runner.cut(state.observe(
+            obs0, F.sum(F.when(F.col("is_dangling"), F.col("rank"))
+                        .otherwise(F.lit(0.0))).alias("dmass")))
+        dmass = obs0.get["dmass"] or 0.0
         for it in range(start_step, start_step + max_iter):
             ranks = state.select(ID, "rank")
             if hot is not None:
@@ -239,8 +255,7 @@ def pagerank(
             return state.select(ID, "rank")
         raise PowerIterationFailedConvergence(max_iter)
     finally:
-        for df in (vertices, norm_edges, dangling_set,
-                   *([hot] if hot is not None else [])):
+        for df in (d for d in (vertices, norm_edges, hot) if d is not None):
             try:
                 df.unpersist()
             except Exception:

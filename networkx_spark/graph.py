@@ -48,11 +48,18 @@ class Graph:
     def __init__(self, edges: DataFrame, directed: bool = True,
                  vertices: Optional[DataFrame] = None,
                  vertex_attrs: Optional[DataFrame] = None,
-                 edge_attrs: Optional[DataFrame] = None):
+                 edge_attrs: Optional[DataFrame] = None,
+                 vertices_complete: bool = False):
         cols = [SRC, DST] + ([WEIGHT] if WEIGHT in edges.columns else [])
         self._edges = edges.select(*cols)
         self.directed = directed
         self._extra_vertices = vertices.select(ID) if vertices is not None else None
+        # vertices_complete=True asserts the explicit vertex table already
+        # contains every edge endpoint (the production web case: the page
+        # table IS the vertex universe).  vertices() then skips the
+        # endpoints-union-distinct — a full 2|E|-row shuffle that dominated
+        # algorithm setup at protocol scale (73.5M edges → 163M-row distinct).
+        self._vertices_complete = vertices_complete and vertices is not None
         # attribute side tables (reference: per-node/edge attr dicts,
         # ``classes/function.py:568-843``): (id, attr…) / (src, dst, attr…);
         # getters semi-join against the live vertex/edge set, so carrying
@@ -131,6 +138,8 @@ class Graph:
 
         Reference: ``G.nodes`` (``graph.py:739``).
         """
+        if self._vertices_complete:
+            return self._extra_vertices
         v = (self._edges.select(F.col(SRC).alias(ID))
              .union(self._edges.select(F.col(DST).alias(ID))))
         if self._extra_vertices is not None:
@@ -164,7 +173,8 @@ class Graph:
             rest = [c for c in ea.columns if c not in (SRC, DST)]
             ea = ea.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), *rest)
         return Graph(rev, directed=True, vertices=self._extra_vertices,
-                     vertex_attrs=self._vertex_attrs, edge_attrs=ea)
+                     vertex_attrs=self._vertex_attrs, edge_attrs=ea,
+                     vertices_complete=self._vertices_complete)
 
     def to_undirected(self) -> "Graph":
         """Collapse direction (reference ``graph.py:1711``); weights of

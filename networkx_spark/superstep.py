@@ -163,9 +163,14 @@ class SuperstepRunner:
         """Write a snapshot and return the lineage-cut re-read."""
         spark = df.sparkSession
         if self.bucket_cols:
+            import hashlib
             import re
+            # content-stable path digest (NOT Python hash(): salted, and a
+            # collision between live snapshot paths would make saveAsTable
+            # silently replace the other snapshot's catalog table)
+            digest = hashlib.sha1(path.encode()).hexdigest()[:12]
             tbl = ("nxs_" + re.sub(r"[^A-Za-z0-9_]", "_", self.name)
-                   + f"_{self._scratch_count}_{abs(hash(path)) % 10 ** 8}")
+                   + f"_{self._scratch_count}_{digest}")
             old = self._tables.pop(path, None)
             if old:
                 spark.sql(f"DROP TABLE IF EXISTS {old}")

@@ -70,14 +70,23 @@ def worker(cores: int, pages: int, supersteps: int, kernel: str = "row",
                       shuffle_partitions=cores * shuffle_factor)
     # the edge table is the protocol input (north rule: engine over an
     # edge table); it is generated ONCE by the parent and read here, so
-    # per-worker wall-clock measures the algorithm, not the generator
+    # per-worker wall-clock measures the algorithm, not the generator.
+    # No .cache(): the raw table is scanned exactly once (the loop-invariant
+    # normalization inside pagerank); caching it cost a full extra
+    # materialization pass + heap pressure for nothing.
     if edges_path:
-        edges = spark.read.parquet(edges_path).cache()
+        edges = spark.read.parquet(edges_path)
     else:
-        edges = web_edges(spark, pages, seed=42, as_urls=False).cache()
-    m = edges.count()
+        edges = web_edges(spark, pages, seed=42, as_urls=False)
+    m = edges.count()          # parquet row-count: metadata-only scan
     verts = spark.range(pages).select(F.col("id").cast("long"))
-    g = Graph.from_edges(edges, vertices=verts)
+    # the generator emits DISTINCT (src, dst) pairs and ids < pages by
+    # construction (generators.web_edges), so the canonicalizing
+    # from_edges dedup shuffle and the endpoints-union-distinct are both
+    # skipped: Graph() trusts canonical rows, vertices_complete trusts the
+    # page table as the vertex universe — the production ingest contract.
+    g = Graph(edges.withColumn("weight", F.lit(1.0)), directed=True,
+              vertices=verts, vertices_complete=True)
 
     runner = SuperstepRunner(None, name=f"scale{cores}")
     t0 = time.time()
@@ -99,6 +108,7 @@ def worker(cores: int, pages: int, supersteps: int, kernel: str = "row",
         "cores": cores, "pages": pages, "edges": m, "supersteps": supersteps,
         "kernel": kernel,
         "wall_sec": round(wall, 2),
+        "setup_sec": round(wall - sum(steps), 2),
         "edges_per_sec_total": round(m * supersteps / wall, 0),
         "edges_per_sec_steady": round(m / steady, 0),
         "steady_superstep_sec": round(steady, 2),
@@ -112,7 +122,14 @@ def _spawn(cores: int, args) -> subprocess.Popen:
     # protocol input is sized to be shuffle-bound, so an undersized heap
     # would silently evict the cache and re-derive it every superstep
     env = dict(os.environ, NXS_SCALING_WORKER=str(cores),
-               SPARK_GRAFT_DRIVER_MEM=args.driver_mem)
+               SPARK_GRAFT_DRIVER_MEM=args.driver_mem,
+               # hypervisor steal bursts starve local-mode heartbeats when
+               # 4 control JVMs timeshare the box — raise the timeouts so a
+               # burst stalls a task instead of killing the JVM
+               SPARK_GRAFT_EXTRA_CONF=json.dumps({
+                   "spark.network.timeout": "600s",
+                   "spark.executor.heartbeatInterval": "60s",
+               }))
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__),
          "--pages", str(args.pages), "--supersteps", str(args.supersteps),
@@ -219,9 +236,15 @@ def main() -> None:
         ctrl_args.driver_mem = args.control_driver_mem
         procs = [_spawn(lo["cores"], ctrl_args) for _ in range(ratio)]
         control = [c for c in (_collect_safe(p) for p in procs) if c]
+        ctrl_full = bool(control) and len(control) == ratio
         if control:
             ctrl_agg = sum(c["edges_per_sec_steady"] for c in control)
-            ctrl_agg *= ratio / len(control)     # scale if a control died
+            if not ctrl_full:
+                # a dead control biases the survivors UP (they ran part of
+                # their tail uncontended), so a ×ratio/len extrapolation is
+                # optimistic about the box and pessimistic about eff_ctrl —
+                # emitted only with an explicit EXTRAPOLATED label below
+                ctrl_agg *= ratio / len(control)
             eff_ctrl = hi["edges_per_sec_steady"] / ctrl_agg
         else:
             control = None
@@ -241,17 +264,19 @@ def main() -> None:
         "(join + partial-hash-agg scatter, parquet-cut lineage per superstep,",
         "residual+dangling mass observed on the checkpoint write: ONE job/superstep).",
         "",
-        "| run | wall (s) | edges/sec (total) | edges/sec (steady-state) | per-superstep (s) |",
-        "|---|---|---|---|---|",
+        "| run | wall (s) | setup (s) | edges/sec (total) | edges/sec (steady-state) | per-superstep (s) |",
+        "|---|---|---|---|---|---|",
     ]
     for r in results:
         lines.append(
-            f"| local[{r['cores']}] | {r['wall_sec']} | {r['edges_per_sec_total']:,.0f} "
+            f"| local[{r['cores']}] | {r['wall_sec']} | {r.get('setup_sec', '')} "
+            f"| {r['edges_per_sec_total']:,.0f} "
             f"| {r['edges_per_sec_steady']:,.0f} | {r['per_superstep_sec']} |")
     if control:
         for i, r in enumerate(control):
             lines.append(
-                f"| control {i + 1}/4 · local[{r['cores']}] concurrent | {r['wall_sec']} "
+                f"| control {i + 1}/{ratio} · local[{r['cores']}] concurrent | {r['wall_sec']} "
+                f"| {r.get('setup_sec', '')} "
                 f"| {r['edges_per_sec_total']:,.0f} | {r['edges_per_sec_steady']:,.0f} "
                 f"| {r['per_superstep_sec']} |")
     lines += [
@@ -262,8 +287,15 @@ def main() -> None:
         "",
     ]
     if control:
+        surv = f"{len(control)}/{ratio} control JVMs survived"
         lines += [
-            f"**Hardware-controlled efficiency (target ≥ 0.8): **{eff_ctrl:.3f}**",
+            (f"**Hardware-controlled efficiency (target ≥ 0.8): **{eff_ctrl:.3f}** "
+             f"({surv})" if ctrl_full else
+             f"**Hardware-controlled efficiency: **{eff_ctrl:.3f}** — "
+             f"EXTRAPOLATED, NOT a clean measurement: only {surv}; the "
+             f"aggregate scales the survivors ×{ratio}/{len(control)}, and "
+             "survivors ran part of their tail uncontended, biasing the "
+             "control up / this ratio down"),
             "",
             f"The control is {ratio} *concurrent* local[{lo['cores']}] JVMs — "
             f"{ratio} independent \"nodes\" timesharing this box's one memory",
@@ -317,6 +349,8 @@ def main() -> None:
                "out": args.out}
     if control:
         summary["efficiency_vs_control"] = round(eff_ctrl, 3)
+        summary["controls_survived"] = f"{len(control)}/{ratio}"
+        summary["control_extrapolated"] = not ctrl_full
     print(json.dumps(summary))
 
 
