@@ -27,7 +27,16 @@ from networkx_spark.algorithms.label_propagation import (
     label_propagation_communities)
 from networkx_spark.algorithms.hits import hits
 from networkx_spark.algorithms.kcore import core_number, k_core
-from networkx_spark.algorithms.bfs import NodeNotFound, bfs_distances, descendants
+from networkx_spark.algorithms.bfs import (
+    NodeNotFound, bfs_distances, bfs_tree, descendants, predecessor,
+    single_source_shortest_path)
+from networkx_spark.algorithms.sssp import (
+    shortest_path, single_source_dijkstra_path,
+    single_source_dijkstra_path_length, sssp_distances, sssp_predecessors)
+from networkx_spark.algorithms.kcore import k_truss
+from networkx_spark.algorithms.assortativity import (
+    attribute_assortativity_coefficient, degree_assortativity_coefficient,
+    numeric_assortativity_coefficient)
 from networkx_spark.algorithms.scc import (
     condensation, is_strongly_connected,
     number_strongly_connected_components, strongly_connected_components)
@@ -35,9 +44,10 @@ from networkx_spark.attributes import (
     get_edge_attributes, get_node_attributes,
     set_edge_attributes, set_node_attributes)
 from networkx_spark.readwrite import (
-    read_adjlist, read_edgelist, write_adjlist, write_edgelist)
+    read_adjlist, read_edgelist, read_graphml, write_adjlist,
+    write_edgelist, write_graphml)
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "Graph",
@@ -64,8 +74,20 @@ __all__ = [
     "core_number",
     "k_core",
     "bfs_distances",
+    "bfs_tree",
+    "predecessor",
+    "single_source_shortest_path",
     "descendants",
     "NodeNotFound",
+    "sssp_distances",
+    "sssp_predecessors",
+    "single_source_dijkstra_path_length",
+    "single_source_dijkstra_path",
+    "shortest_path",
+    "k_truss",
+    "degree_assortativity_coefficient",
+    "attribute_assortativity_coefficient",
+    "numeric_assortativity_coefficient",
     "get_node_attributes",
     "set_node_attributes",
     "get_edge_attributes",
@@ -74,5 +96,7 @@ __all__ = [
     "write_edgelist",
     "read_adjlist",
     "write_adjlist",
+    "read_graphml",
+    "write_graphml",
     "__version__",
 ]

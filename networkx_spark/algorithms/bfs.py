@@ -76,3 +76,48 @@ def descendants(g: Graph, source) -> DataFrame:
     """Vertices reachable from source, excluding it (``nx.descendants``)."""
     return (bfs_distances(g, source)
             .filter(F.col("distance") > 0).select(ID))
+
+
+def predecessor(g: Graph, source, max_depth: int = 10_000) -> DataFrame:
+    """(id, pred) — EVERY predecessor of ``id`` on some shortest path from
+    ``source``; the row-form of the reference's ``nx.predecessor`` dict of
+    lists (``shortest_paths/unweighted.py:400``; the source's empty list is
+    the absence of rows here).
+
+    Derived in ONE post-hoc join against the distance table — a vertex u
+    is a predecessor of v iff edge u→v exists and dist(u) + 1 == dist(v) —
+    rather than collected during traversal; pure function of the distance
+    table, so it is deterministic and SQL-oracle-expressible.
+    """
+    dist = bfs_distances(g, source, max_depth=max_depth)
+    adj = g.symmetrized().select(SRC, DST)
+    du = dist.select(F.col(ID).alias(SRC), F.col("distance").alias("_du"))
+    dv = dist.select(F.col(ID).alias(DST), F.col("distance").alias("_dv"))
+    return (adj.join(du, SRC).join(dv, DST)
+            .filter(F.col("_du") + 1 == F.col("_dv"))
+            .select(F.col(DST).alias(ID), F.col(SRC).alias("pred"))
+            .distinct())
+
+
+def bfs_tree(g: Graph, source, max_depth: int = 10_000) -> DataFrame:
+    """Edges (src, dst) of a BFS tree rooted at ``source`` — the reference's
+    ``nx.bfs_tree`` (``traversal/breadth_first_search.py:434``).
+
+    The reference's tree depends on adjacency-dict iteration order; here the
+    parent is the MINIMUM shortest-path predecessor — any single-parent
+    choice among shortest-path predecessors yields a valid BFS tree (same
+    vertex set, same depths), and min is deterministic and oracle-friendly.
+    """
+    return (predecessor(g, source, max_depth=max_depth)
+            .groupBy(ID).agg(F.min("pred").alias(SRC))
+            .select(SRC, F.col(ID).alias(DST)))
+
+
+def single_source_shortest_path(g: Graph, source) -> DataFrame:
+    """(id, distance, path array) — ``nx.single_source_shortest_path``
+    (``unweighted.py:298``), built over the unweighted shortest-path tree
+    (see :func:`~networkx_spark.algorithms.sssp.single_source_dijkstra_path`
+    for the layered construction and its scale posture)."""
+    from networkx_spark.algorithms.sssp import single_source_dijkstra_path
+    return (single_source_dijkstra_path(g, source, weight=False)
+            .select(ID, F.col("distance").cast("long").alias("distance"), "path"))

@@ -12,11 +12,12 @@ Reference kernel ``eigenvector_centrality``
 * raise :class:`PowerIterationFailedConvergence` after ``max_iter``.
 
 Superstep = one scatter (join on ``src``, groupBy ``dst``) + the +I
-self-term via a left join back onto the previous state.  The L2 norm rides
-the checkpoint write as an observed metric; normalization is applied
-lazily as a literal multiplier next superstep (the HITS pattern,
-``hits.py``), so the loop is 1 job/superstep (+1 residual job when ``tol``
-is set, matching ``hits.py:89-92``).
+self-term via a left join back onto the previous state.  The L2 norm AND
+the lagged residual ride the checkpoint write as observed metrics;
+normalization is applied lazily as a literal multiplier next superstep,
+so the loop is exactly ONE job per superstep even with ``tol`` set (the
+convergence test is evaluated one superstep late on carried columns, and
+the converged iteration's vector is returned — see the loop comment).
 """
 
 from __future__ import annotations
@@ -74,36 +75,57 @@ def eigenvector_centrality(
     scale = 1.0        # pending 1/norm multiplier from the previous write
     try:
       with fixed_plan(spark):
-        x = runner.cut(x)
+        # state: (id, x RAW, _prev) — _prev is the PREVIOUS superstep's
+        # post-normalization vector (written materialized: the 1/norm
+        # multiplier is a literal by write time)
+        x = runner.cut(x.select(ID, "x", F.col("x").alias("_prev")))
         for it in range(max_iter):
-            xs = x.select(ID, (F.col("x") * F.lit(scale)).alias("x"))
+            xs = x.select(ID, (F.col("x") * F.lit(scale)).alias("x"),
+                          F.col("_prev").alias("_prev2"))
             contrib = (xs.join(adj, xs[ID] == adj[SRC])
                        .groupBy(F.col(DST).alias(ID))
                        .agg(F.sum(F.col("x") * F.col(WEIGHT)).alias("_c")))
             # x_raw = xlast + xlast·A  (the +I shift); carry xlast for the
-            # post-normalization residual
+            # next superstep's lagged residual
             new = (xs.withColumnRenamed("x", "_prev")
                    .join(contrib, ID, "left")
                    .select(ID,
                            (F.col("_prev") + F.coalesce("_c", F.lit(0.0)))
                            .alias("x"),
-                           "_prev"))
+                           "_prev", "_prev2"))
+            # ONE job per superstep: the L2 norm AND the LAGGED residual
+            # Σ|x_{it} − x_{it-1}| (both post-normalization vectors are
+            # fully-determined lazy projections by write time) ride the
+            # checkpoint write; the reference's stop test
+            # (eigenvector.py:228-230, < n·tol AFTER normalization) for
+            # iteration it is evaluated one superstep late, and x_{it} is
+            # carried as ``_prev``, so the converged iteration's exact
+            # vector is returned (round-3 finding #2; the Katz/pagerank
+            # one-job pattern).
             obs = Observation()
             state = runner.checkpoint(
-                new.observe(obs, F.sum(F.col("x") * F.col("x")).alias("ss")),
+                new.observe(obs, F.sum(F.col("x") * F.col("x")).alias("ss"),
+                            F.sum(F.abs(F.col("_prev") - F.col("_prev2")))
+                            .alias("lag_err")).drop("_prev2"),
                 it, rows=n, extra={"algorithm": "eigenvector"})
-            norm = math.sqrt(obs.get["ss"] or 0.0) or 1.0
+            m = obs.get
+            norm = math.sqrt(m["ss"] or 0.0) or 1.0
             scale = 1.0 / norm
-            if tol is not None:
-                err = (state.agg(F.sum(F.abs(F.col("x") * F.lit(scale)
-                                             - F.col("_prev"))))
-                       .collect()[0][0]) or 0.0
+            if tol is not None and it >= 1:
+                err = m["lag_err"] or 0.0
                 runner.update_last(residual=err)
                 if err < n * tol:
-                    return state.select(
-                        ID, (F.col("x") * F.lit(scale)).alias("centrality"))
-            x = state.drop("_prev")
+                    # iteration it-1 had converged: return ITS vector
+                    return state.select(ID, F.col("_prev").alias("centrality"))
+            x = state
         if tol is None:
+            return x.select(ID, (F.col("x") * F.lit(scale)).alias("centrality"))
+        # no lagged stop fired: ONE terminal residual job decides whether
+        # the final iteration itself converged
+        err = (x.agg(F.sum(F.abs(F.col("x") * F.lit(scale) - F.col("_prev"))))
+               .collect()[0][0]) or 0.0
+        runner.update_last(residual=err)
+        if err < n * tol:
             return x.select(ID, (F.col("x") * F.lit(scale)).alias("centrality"))
         raise PowerIterationFailedConvergence(max_iter)
     finally:

@@ -92,3 +92,57 @@ def core_number(g: Graph, max_k: int = 10_000) -> DataFrame:
         return result
     finally:
         runner.close()
+
+
+def k_truss(g: Graph, k: int, max_rounds: int = 10_000) -> Graph:
+    """The k-truss: maximal subgraph where every edge is incident to at
+    least ``k − 2`` triangles (reference ``core.py:472``, the Cohen-2005
+    definition); isolated vertices are dropped from the result like the
+    reference's final ``remove_nodes_from(isolates)``.
+
+    Distributed peeling: each round recomputes per-edge triangle support
+    from the degree-ordered wedge closure (:func:`~networkx_spark
+    .algorithms.triangles.triangle_corners` — Σd_out² bounded) and drops
+    under-supported edges; rounds repeat to fixpoint with the surviving
+    edge count observed on the lineage-cut write.  Raises on directed
+    input and self-loops like the reference (``core.py:493,523-528``).
+    """
+    from networkx_spark.algorithms.triangles import triangle_corners
+
+    if g.directed:
+        raise ValueError("k_truss is not implemented for directed graphs "
+                         "(reference raises NetworkXNotImplemented)")
+    if g.selfloops().limit(1).count() > 0:
+        raise ValueError("Input graph has self loops which is not permitted "
+                         "(reference raises NetworkXNotImplemented)")
+    runner = SuperstepRunner(None, name="ktruss")
+    e = g.edges.select(SRC, DST)
+    m = e.count()
+    try:
+        for _ in range(max_rounds):
+            if m == 0:
+                break
+            tri = triangle_corners(Graph(e, directed=False))
+            sides = tri.select(F.col("a").alias("u"), F.col("b").alias("v")) \
+                .unionByName(tri.select(F.col("a").alias("u"), F.col("c").alias("v"))) \
+                .unionByName(tri.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            support = (sides.select(F.least("u", "v").alias(SRC),
+                                    F.greatest("u", "v").alias(DST))
+                       .groupBy(SRC, DST).agg(F.count("*").alias("_sup")))
+            obs = Observation()
+            e2 = (e.join(support, [SRC, DST], "left")
+                  .filter(F.coalesce("_sup", F.lit(0)) >= k - 2)
+                  .select(SRC, DST)
+                  .observe(obs, F.count(F.lit(1)).alias("m")))
+            e2 = runner.cut(e2)
+            m2 = int(obs.get["m"])
+            if m2 == m:
+                return Graph(e2, directed=False)
+            e, m = e2, m2
+        if m == 0:
+            spark = g.edges.sparkSession
+            empty = spark.createDataFrame([], g.edges.select(SRC, DST).schema)
+            return Graph(empty, directed=False)
+        raise RuntimeError("k-truss peeling did not converge")
+    finally:
+        runner.close()

@@ -125,3 +125,103 @@ def single_source_dijkstra_path_length(g: Graph, source,
                                        weight: bool = True) -> DataFrame:
     """Alias matching the reference entry point (``weighted.py:321``)."""
     return sssp_distances(g, source, weight=weight)
+
+
+def sssp_predecessors(g: Graph, source, weight: bool = True,
+                      max_iter: Optional[int] = None,
+                      checkpoint_dir: Optional[str] = None) -> DataFrame:
+    """(id, distance, pred): a deterministic shortest-path tree.
+
+    ``pred(v) = min u over {u : dist(u) + w(u, v) == dist(v)}`` — derived
+    in ONE post-fixpoint join against the edge table rather than carried
+    through the superstep loop: an in-loop argmin would pin ``pred`` to
+    whichever superstep last improved ``v`` (an execution-order artifact),
+    while this definition is a pure function of the distance table —
+    deterministic, one extra shuffle, and exactly expressible by a SQL
+    oracle.  The equality is exact: both sides are the same single
+    ``dist(u) + w`` double addition the relax loop minimized over.
+
+    The reference's ``single_source_dijkstra`` (``weighted.py:421``)
+    returns paths whose predecessor choice is heap-pop order; any tree
+    realizing the same distances is a valid answer (parity is tested by
+    path validity + length).  ``pred`` is null for the source.  With
+    zero-weight edges the min-pred relation can contain 2-cycles between
+    equidistant vertices; for strictly positive weights it is a tree.
+    """
+    dist = sssp_distances(g, source, weight=weight, max_iter=max_iter,
+                          checkpoint_dir=checkpoint_dir)
+    wcol = F.col(WEIGHT).cast("double") if weight else F.lit(1.0)
+    adj = g.symmetrized().select(SRC, DST, wcol.alias("_w"))
+    du = dist.select(F.col(ID).alias(SRC), F.col("distance").alias("_du"))
+    dv = dist.select(F.col(ID).alias(DST), F.col("distance").alias("_dv"))
+    preds = (adj.join(du, SRC).join(dv, DST)
+             .filter(F.col("_du") + F.col("_w") == F.col("_dv"))
+             .groupBy(F.col(DST).alias(ID)).agg(F.min(SRC).alias("pred")))
+    return (dist.join(preds, ID, "left")
+            .select(ID, "distance", "pred"))
+
+
+def single_source_dijkstra_path(g: Graph, source, weight: bool = True,
+                                max_iter: Optional[int] = None) -> DataFrame:
+    """(id, distance, path array) for every reachable vertex — the paths
+    half of the reference's ``single_source_dijkstra`` (``weighted.py:421``).
+
+    Built layer-by-layer over the :func:`sssp_predecessors` tree: vertices
+    at tree depth d extend their predecessor's path — one broadcast-free
+    join per depth level, so the superstep count is the shortest-path tree
+    height (~graph diameter: single digits on web graphs).  The output is
+    O(Σ path lengths) — inherently larger than the distance table; at 100 TB
+    scale prefer the predecessor table and reconstruct per-target paths.
+    """
+    spark = g.edges.sparkSession
+    pred = sssp_predecessors(g, source, weight=weight, max_iter=max_iter)
+    # keep_scratch=0: ``done`` accumulates unions over EVERY level's
+    # snapshot, so rotation would delete files still referenced
+    runner = SuperstepRunner(None, name="sssp_paths", keep_scratch=0)
+    try:
+      with fixed_plan(spark):
+        pred = runner.cut(pred)
+        # tree roots: the source (pred null)
+        done = pred.filter(F.col("pred").isNull()).select(
+            ID, "distance", F.array(ID).alias("path"))
+        frontier = done.select(F.col(ID).alias("_p"), F.col("path").alias("_pp"))
+        rest = pred.filter(F.col("pred").isNotNull())
+        while True:
+            nxt = (rest.join(frontier, rest["pred"] == frontier["_p"])
+                   .select(ID, "distance",
+                           F.concat("_pp", F.array(ID)).alias("path")))
+            obs = Observation()
+            nxt = runner.cut(nxt.observe(obs, F.count(F.lit(1)).alias("n")))
+            if int(obs.get["n"] or 0) == 0:
+                return done
+            done = done.unionByName(nxt)
+            frontier = nxt.select(F.col(ID).alias("_p"), F.col("path").alias("_pp"))
+            rest = rest.join(nxt.select(ID), ID, "anti")
+    finally:
+        runner.close()
+
+
+def shortest_path(g: Graph, source, target, weight: bool = True) -> list:
+    """Node list of one shortest source→target path — reference
+    ``single_source_dijkstra(G, s, t)[1]`` / ``nx.shortest_path``
+    (``weighted.py:421``).  Driver-side pred-chain walk: O(path length)
+    point lookups on the predecessor table — a documented test/tooling-scale
+    helper like ``Graph.has_node``; batch workloads should join against
+    :func:`sssp_predecessors` instead.  Raises :class:`NodeNotFound` when
+    the target is unreachable (reference raises ``NetworkXNoPath``)."""
+    pred = sssp_predecessors(g, source, weight=weight).cache()
+    try:
+        src_type = g.edges.schema[SRC].dataType.simpleString()
+        cur = str(target) if src_type == "string" else target
+        out = []
+        for _ in range(int(pred.count()) + 1):
+            out.append(cur)
+            row = pred.filter(F.col(ID) == cur).collect()
+            if not row:
+                raise NodeNotFound(f"No path to {target!r}")
+            if row[0]["pred"] is None:
+                return list(reversed(out))
+            cur = row[0]["pred"]
+        raise RuntimeError("predecessor chain longer than |V| (cycle?)")
+    finally:
+        pred.unpersist()

@@ -71,7 +71,22 @@ class MultiGraph:
                 F.least(SRC, DST).alias(SRC), F.greatest(SRC, DST).alias(DST),
                 *( [KEY] if key else [] ), WEIGHT)
         if key:
-            e = (e.groupBy(SRC, DST, KEY).agg(F.last(WEIGHT).alias(WEIGHT)))
+            # keys must be integral: the mutation paths assign
+            # max-existing+1 (``new_edge_key``, ``multigraph.py:401``),
+            # which has no meaning for, e.g., string keys
+            ktype = dict(e.dtypes)[KEY]
+            if ktype not in ("tinyint", "smallint", "int", "bigint"):
+                raise TypeError(
+                    f"MultiGraph key column must be integral, got {ktype}; "
+                    "relabel keys to integers before from_edges")
+            e = e.withColumn(KEY, F.col(KEY).cast("long"))
+            # duplicate explicit (src, dst, key) rows reduce to ONE row.
+            # DataFrames have no insertion order, so the reference's
+            # "last add_edge wins" (``multigraph.py:430-525``) is
+            # order-undefined here; the max weight is taken as a
+            # deterministic, partitioning-independent pick (F.last would
+            # be nondeterministic across runs).
+            e = (e.groupBy(SRC, DST, KEY).agg(F.max(WEIGHT).alias(WEIGHT)))
         else:
             w = Window.partitionBy(SRC, DST).orderBy(
                 F.col(WEIGHT), F.xxhash64(SRC, DST, WEIGHT))

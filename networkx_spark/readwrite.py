@@ -127,3 +127,180 @@ def read_node_link_json(spark: SparkSession, path: str) -> Graph:
     import json
     with open(path) as fh:
         return node_link_graph(spark, json.load(fh))
+
+
+# ----------------------------------------------------------------- GraphML
+# Reference: ``networkx/readwrite/graphml.py`` (``write_graphml`` ``:61``,
+# ``read_graphml`` ``:219``).  GraphML is the main interchange format with
+# Gephi/igraph/yEd tooling — the top interop ask after JSON node-link.
+#
+# Write path is DISTRIBUTED where it can be: every <node>/<edge> element is
+# rendered as an XML fragment string JVM-side (concat + regexp escaping,
+# whole-stage codegen, no Python), written as text part files; the driver
+# then streams header + parts + footer into the single .graphml document —
+# an O(bytes) sequential copy with zero parsing, the unavoidable cost of a
+# single-document output format.  The read path is a driver-side
+# ElementTree parse (an XML document is a driver-side structure, like
+# node-link JSON); both directions stay honest about that and the
+# PARQUET edge table remains the at-scale interchange format.
+
+_GRAPHML_NS = "http://graphml.graphdrawing.org/xmlns"
+_XSI = ("http://www.w3.org/2001/XMLSchema-instance",
+        "http://graphml.graphdrawing.org/xmlns "
+        "http://graphml.graphdrawing.org/xmlns/1.0/graphml.xsd")
+_GML_TYPES = {"string": "string", "double": "double", "float": "float",
+              "bigint": "long", "int": "int", "smallint": "int",
+              "tinyint": "int", "boolean": "boolean"}
+_GML_CASTS = {"string": "string", "double": "double", "float": "float",
+              "long": "bigint", "int": "int", "boolean": "boolean"}
+
+
+def _xml_escape(col):
+    c = F.regexp_replace(col.cast("string"), "&", "&amp;")
+    for lit, ent in (("<", "&lt;"), (">", "&gt;"), ('"', "&quot;")):
+        c = F.regexp_replace(c, lit, ent)
+    return c
+
+
+def _data_elems(df: DataFrame, keys: list[str]):
+    """Concat column rendering ``<data key="k">v</data>`` per non-null attr."""
+    parts = []
+    for k in keys:
+        parts.append(F.when(
+            F.col(k).isNotNull(),
+            F.concat(F.lit(f'<data key="{k}">'), _xml_escape(F.col(k)),
+                     F.lit("</data>"))).otherwise(F.lit("")))
+    return F.concat(*parts) if parts else F.lit("")
+
+
+def _attr_keys(df: DataFrame | None, skip: tuple) -> list[tuple[str, str]]:
+    if df is None:
+        return []
+    return [(name, _GML_TYPES[t]) for name, t in df.dtypes
+            if name not in skip and t in _GML_TYPES]
+
+
+def write_graphml(g: Graph, path: str) -> None:
+    """Single-file GraphML document with node/edge attributes
+    (``graphml.py:61``).  Edge ``weight`` is always emitted; attribute
+    tables (``Graph.with_vertex_attrs`` / ``with_edge_attrs``) contribute
+    one ``<key>``-declared attribute per supported-type column."""
+    import glob
+    import shutil
+    import tempfile
+
+    spark = g.edges.sparkSession
+    vkeys = _attr_keys(g._vertex_attrs, (ID,))
+    ekeys = _attr_keys(g._edge_attrs, (SRC, DST))
+
+    verts = g.vertices()
+    if g._vertex_attrs is not None:
+        verts = verts.join(g._vertex_attrs, ID, "left")
+    nodes = verts.select(F.concat(
+        F.lit('<node id="'), _xml_escape(F.col(ID)), F.lit('">'),
+        _data_elems(verts, [k for k, _ in vkeys]),
+        F.lit("</node>")).alias("value"))
+
+    edges = g.edges
+    if g._edge_attrs is not None:
+        edges = edges.join(g._edge_attrs, [SRC, DST], "left")
+    eattrs = _data_elems(edges, [k for k, _ in ekeys])
+    erows = edges.select(F.concat(
+        F.lit('<edge source="'), _xml_escape(F.col(SRC)),
+        F.lit('" target="'), _xml_escape(F.col(DST)), F.lit('">'),
+        F.concat(F.lit('<data key="weight">'),
+                 F.col(WEIGHT).cast("string"), F.lit("</data>")),
+        eattrs, F.lit("</edge>")).alias("value"))
+
+    tmp = tempfile.mkdtemp(prefix="nxs_graphml_")
+    try:
+        nodes.write.mode("overwrite").text(f"{tmp}/nodes")
+        erows.write.mode("overwrite").text(f"{tmp}/edges")
+        with open(path, "w", encoding="utf-8") as out:
+            out.write("<?xml version='1.0' encoding='utf-8'?>\n")
+            out.write(f'<graphml xmlns="{_GRAPHML_NS}" '
+                      f'xmlns:xsi="{_XSI[0]}" xsi:schemaLocation="{_XSI[1]}">\n')
+            for name, typ in vkeys:
+                out.write(f'<key id="{name}" for="node" attr.name="{name}" '
+                          f'attr.type="{typ}"/>\n')
+            out.write('<key id="weight" for="edge" attr.name="weight" '
+                      'attr.type="double"/>\n')
+            for name, typ in ekeys:
+                out.write(f'<key id="{name}" for="edge" attr.name="{name}" '
+                          f'attr.type="{typ}"/>\n')
+            mode = "directed" if g.directed else "undirected"
+            out.write(f'<graph edgedefault="{mode}">\n')
+            for sub in ("nodes", "edges"):
+                for part in sorted(glob.glob(f"{tmp}/{sub}/part-*")):
+                    with open(part, encoding="utf-8") as fh:
+                        shutil.copyfileobj(fh, out)
+            out.write("</graph>\n</graphml>\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_graphml(spark: SparkSession, path: str) -> Graph:
+    """Parse a GraphML document into a :class:`Graph` (+ attribute tables)
+    — ``read_graphml`` (``graphml.py:219``).  Driver-side ElementTree
+    parse (single-document format); attribute values are cast per the
+    ``<key>`` declarations."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag):
+        return tag.rsplit("}", 1)[-1]
+
+    root = ET.parse(path).getroot()
+    keys = {}
+    for el in root.iter():
+        if local(el.tag) == "key":
+            keys[el.get("id")] = (el.get("for", "node"),
+                                  el.get("attr.name", el.get("id")),
+                                  el.get("attr.type", "string"))
+    graph_el = next(el for el in root.iter() if local(el.tag) == "graph")
+    directed = graph_el.get("edgedefault", "undirected") == "directed"
+
+    def datas(el):
+        out = {}
+        for d in el:
+            if local(d.tag) == "data" and d.get("key") in keys:
+                _, name, _ = keys[d.get("key")]
+                out[name] = d.text
+        return out
+
+    nodes, edges = [], []
+    for el in graph_el:
+        t = local(el.tag)
+        if t == "node":
+            nodes.append({ID: el.get("id"), **datas(el)})
+        elif t == "edge":
+            edges.append({SRC: el.get("source"), DST: el.get("target"),
+                          **datas(el)})
+
+    vcols = [(n, t) for _, (f, n, t) in sorted(keys.items()) if f == "node"]
+    ecols = [(n, t) for _, (f, n, t) in sorted(keys.items())
+             if f == "edge" and n != "weight"]
+    e = spark.createDataFrame(
+        [(r[SRC], r[DST], float(r.get("weight", 1.0)),
+          *[r.get(n) for n, _ in ecols]) for r in edges] or
+        [("", "", 1.0, *[None] * len(ecols))],
+        schema=f"src string, dst string, weight double"
+               + "".join(f", {n} string" for n, _ in ecols))
+    if not edges:
+        e = e.limit(0)
+    v = spark.createDataFrame(
+        [(r[ID], *[r.get(n) for n, _ in vcols]) for r in nodes] or
+        [("", *[None] * len(vcols))],
+        schema="id string" + "".join(f", {n} string" for n, _ in vcols))
+    if not nodes:
+        v = v.limit(0)
+    for n, t in vcols:
+        v = v.withColumn(n, F.col(n).cast(_GML_CASTS.get(t, "string")))
+    for n, t in ecols:
+        e = e.withColumn(n, F.col(n).cast(_GML_CASTS.get(t, "string")))
+    out = Graph.from_edges(e.select(SRC, DST, WEIGHT), directed=directed,
+                           weight=WEIGHT, vertices=v.select(ID))
+    if vcols:
+        out = out.with_vertex_attrs(v)
+    if ecols:
+        out = out.with_edge_attrs(e.drop(WEIGHT))
+    return out
