@@ -264,7 +264,7 @@ LEFT JOIN (
                               labels.join(act, ID, "semi")
                               .select("color").distinct().collect())
             n_changed = 0
-            for c in live:
+            for i, c in enumerate(live):
                 labels.createOrReplaceTempView("nxs_lpa_labels")
                 obs = Observation()
                 new_labels = (spark.sql(UPDATE_SQL.format(
@@ -272,7 +272,20 @@ LEFT JOIN (
                               .observe(obs, F.sum(
                                   F.when(F.col("color") == c, F.col("_chg").cast("long"))
                                   .otherwise(F.lit(0))).alias("chg")))
-                labels = runner.cut(new_labels)
+                # within a sweep, cut with an EAGER localCheckpoint
+                # (executor-memory materialization) instead of a parquet
+                # round-trip: the sequential per-color barrier is pure
+                # job-launch + write fixed cost, and the in-memory cut
+                # roughly halves it (the round-3 LPA latency finding).
+                # localCheckpoint chains blow up Catalyst stats after ~10
+                # links (superstep.py module docs), so every 6th color —
+                # and every sweep end via runner.checkpoint — cuts to
+                # parquet, resetting the chain; durable per-sweep parquet
+                # remains the resumable north-rule checkpoint.
+                if (i + 1) % 6 == 0:
+                    labels = runner.cut(new_labels)
+                else:
+                    labels = new_labels.localCheckpoint(eager=True)
                 n_changed += int(obs.get["chg"] or 0)
             out = runner.checkpoint(labels, sweep, rows=n,
                                     extra={"algorithm": f"lpa:{tie}", "sweep": sweep,

@@ -21,8 +21,8 @@ sys.path.insert(0, REPO)
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from networkx_spark.entry_queries import (GOLDEN_DIR, q_asyn_lpa, q_lpa,
-                                              q_louvain)
+    from networkx_spark.entry_queries import (GOLDEN_DIR, q_asyn_lpa,
+                                              q_fast_lpa, q_lpa, q_louvain)
     from networkx_spark.generators import synthesize_pages
     from networkx_spark.session import get_spark
 
@@ -31,6 +31,7 @@ def main() -> None:
     jobs = [("label_propagation_web400", lambda: q_lpa(spark, "")),
             ("asyn_lpa_web400", lambda: q_asyn_lpa(spark, "")),
             ("louvain_web400", lambda: q_louvain(spark, "")),
+            ("fast_lpa_web400", lambda: q_fast_lpa(spark, "")),
             # INPUT snapshot, not an output golden: the extraction oracle
             # re-derives edges from this raw html independently in DuckDB
             ("web_pages_500", lambda: synthesize_pages(spark, 500, seed=42)
