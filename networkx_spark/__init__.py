@@ -44,8 +44,8 @@ from networkx_spark.attributes import (
     get_edge_attributes, get_node_attributes,
     set_edge_attributes, set_node_attributes)
 from networkx_spark.readwrite import (
-    read_adjlist, read_edgelist, read_graphml, write_adjlist,
-    write_edgelist, write_graphml)
+    read_adjlist, read_edgelist, read_gml, read_graphml,
+    write_adjlist, write_edgelist, write_gml, write_graphml)
 
 __version__ = "0.3.0"
 
@@ -98,5 +98,7 @@ __all__ = [
     "write_adjlist",
     "read_graphml",
     "write_graphml",
+    "read_gml",
+    "write_gml",
     "__version__",
 ]

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from networkx_spark.graph import Graph, SRC, DST, WEIGHT, ID
+from networkx_spark.graph import Graph, SRC, DST, WEIGHT, ID, VID
 
 
 def read_edgelist(spark: SparkSession, path: str, comments: str = "#",
@@ -304,3 +304,131 @@ def read_graphml(spark: SparkSession, path: str) -> Graph:
     if ecols:
         out = out.with_edge_attrs(e.drop(WEIGHT))
     return out
+
+
+# --------------------------------------------------------------------- GML
+# Reference: ``networkx/readwrite/gml.py`` (``write_gml`` ``:792``,
+# ``read_gml`` ``:303``).  Same posture as GraphML: node/edge blocks are
+# rendered JVM-side and streamed into the single document; reads are a
+# driver-side parse of the (single-document) format.  The reference's GML
+# contract keys nodes by an integer ``id`` and a string ``label`` and
+# relabels to labels on read — the dense integer ids come from
+# :meth:`Graph.with_vids` (distributed compaction, no global window).
+
+def _gml_escape(col):
+    c = F.regexp_replace(col.cast("string"), "&", "&amp;")
+    return F.regexp_replace(c, '"', "&quot;")
+
+
+def _gml_unescape(s: str) -> str:
+    # the reference writer emits HTML entities (numeric for non-ASCII and
+    # quotes, ``gml.py`` escape): unescape covers both forms
+    import html
+    return html.unescape(s)
+
+
+def write_gml(g: Graph, path: str) -> None:
+    """Single-file GML document (``gml.py:792``): integer node ids +
+    string labels (= the engine's vertex ids), per-edge ``weight``."""
+    import glob
+    import shutil
+    import tempfile
+
+    vmap, evids = g.with_vids()
+    nodes = vmap.select(F.concat(
+        F.lit("  node [\n    id "), F.col(VID).cast("string"),
+        F.lit('\n    label "'), _gml_escape(F.col(ID)),
+        F.lit('"\n  ]')).alias("value"))
+    edges = evids.select(F.concat(
+        F.lit("  edge [\n    source "), F.col(SRC).cast("string"),
+        F.lit("\n    target "), F.col(DST).cast("string"),
+        F.lit("\n    weight "), F.col(WEIGHT).cast("string"),
+        F.lit("\n  ]")).alias("value"))
+
+    tmp = tempfile.mkdtemp(prefix="nxs_gml_")
+    try:
+        nodes.write.mode("overwrite").text(f"{tmp}/nodes")
+        edges.write.mode("overwrite").text(f"{tmp}/edges")
+        with open(path, "w", encoding="utf-8") as out:
+            out.write("graph [\n")
+            if g.directed:
+                out.write("  directed 1\n")
+            for sub in ("nodes", "edges"):
+                for part in sorted(glob.glob(f"{tmp}/{sub}/part-*")):
+                    with open(part, encoding="utf-8") as fh:
+                        shutil.copyfileobj(fh, out)
+            out.write("]\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _gml_tokens(text: str):
+    import re
+    # strings, brackets, bare tokens; #-comments run to end of line
+    for m in re.finditer(r'"[^"]*"|\[|\]|#[^\n]*|[^\s\[\]]+', text):
+        t = m.group(0)
+        if not t.startswith("#"):
+            yield t
+
+
+def read_gml(spark: SparkSession, path: str) -> Graph:
+    """Parse a GML document (``gml.py:303``): nodes keyed by ``id``,
+    relabeled to ``label`` when present (the reference's default
+    ``label='label'`` behaviour); ``weight`` honored, other keys ignored."""
+    with open(path, encoding="utf-8") as fh:
+        toks = list(_gml_tokens(fh.read()))
+
+    def parse_block(i):
+        """toks[i] == '[' → (dict-of-lists, next index)."""
+        out: dict[str, list] = {}
+        i += 1
+        while i < len(toks) and toks[i] != "]":
+            key = toks[i]
+            val, i = parse_value(i + 1)
+            out.setdefault(key, []).append(val)
+        return out, i + 1
+
+    def parse_value(i):
+        t = toks[i]
+        if t == "[":
+            return parse_block(i)
+        if t.startswith('"'):
+            return _gml_unescape(t[1:-1]), i + 1
+        try:
+            return int(t), i + 1
+        except ValueError:
+            try:
+                return float(t), i + 1
+            except ValueError:
+                return t, i + 1
+
+    # top level: find 'graph ['
+    i = 0
+    doc = None
+    while i < len(toks):
+        if toks[i] == "graph" and i + 1 < len(toks) and toks[i + 1] == "[":
+            doc, i = parse_block(i + 1)
+            break
+        i += 1
+    if doc is None:
+        raise ValueError(f"{path}: no 'graph [' block found")
+
+    directed = bool(doc.get("directed", [0])[0])
+    label_of = {}
+    node_rows = []
+    for nd in doc.get("node", []):
+        nid = nd["id"][0]
+        label = str(nd.get("label", [nid])[0])
+        label_of[nid] = label
+        node_rows.append((label,))
+    edge_rows = [(label_of[ed["source"][0]], label_of[ed["target"][0]],
+                  float(ed.get("weight", [1.0])[0]))
+                 for ed in doc.get("edge", [])]
+    e = spark.createDataFrame(edge_rows or [("", "", 1.0)],
+                              "src string, dst string, weight double")
+    if not edge_rows:
+        e = e.limit(0)
+    v = spark.createDataFrame(node_rows or [("",)], "id string")
+    if not node_rows:
+        v = v.limit(0)
+    return Graph.from_edges(e, directed=directed, weight=WEIGHT, vertices=v)

@@ -63,3 +63,45 @@ def test_graphml_self_round_trip(spark, tmp_path):
             == {tuple(r) for r in g0.edges.collect()})
     assert ({r["id"] for r in g1.vertices().collect()}
             == {r["id"] for r in g0.vertices().collect()})
+
+
+# ------------------------------------------------------------------- GML
+from networkx_spark.readwrite import read_gml, write_gml
+
+
+def test_write_gml_read_by_reference(spark, tmp_path):
+    path = os.path.join(tmp_path, "g.gml")
+    g = Graph.from_edge_list(
+        spark, [("a", "b", 2.5), ("b", "c & d", 1.0)],
+        directed=True, nodes=["a", "b", "c & d", "solo"])
+    write_gml(g, path)
+    G = nx.read_gml(path)
+    assert isinstance(G, nx.DiGraph)
+    assert set(G.nodes) == {"a", "b", "c & d", "solo"}
+    assert G["a"]["b"]["weight"] == 2.5
+
+
+def test_read_gml_written_by_reference(spark, tmp_path):
+    G = nx.Graph()
+    G.add_edge("x", "y", weight=3.5)
+    G.add_edge("y", "z quoted \" ok", weight=1.0)
+    G.add_node("lonely")
+    path = os.path.join(tmp_path, "ref.gml")
+    nx.write_gml(G, path)
+    g = read_gml(spark, path)
+    assert not g.directed
+    assert {r["id"] for r in g.vertices().collect()} == set(G.nodes)
+    edges = {frozenset((r["src"], r["dst"])): r["weight"]
+             for r in g.edges.collect()}
+    assert edges[frozenset(("x", "y"))] == 3.5
+
+
+def test_gml_self_round_trip(spark, tmp_path):
+    path = os.path.join(tmp_path, "rt.gml")
+    g0 = Graph.from_edge_list(spark, [(0, 1, 2.0), (1, 2, 1.0)],
+                              directed=False, nodes=[0, 1, 2, 3])
+    write_gml(g0, path)
+    g1 = read_gml(spark, path)
+    assert ({tuple(r) for r in g1.edges.collect()}
+            == {tuple(r) for r in g0.edges.collect()})
+    assert g1.vertices().count() == 4
