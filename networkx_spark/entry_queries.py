@@ -1283,10 +1283,70 @@ SQL_FAST_LPA_GOLDEN = (f"SELECT id, label FROM "
                        f"read_parquet('{GOLDEN_DIR}/fast_lpa_web400.parquet')")
 
 
+# -------------------------------------------------------- graph products
+# G = the region->nation ownership forest (25 directed edges, 30 vertices,
+# ids prefixed to keep the two key spaces apart); H = the 5-region cycle.
+# Small by design: product outputs are |E_G|x|E_H| / |V||E| sized, and the
+# gate hashes every row.
+
+def _product_pair(spark, sf_dir):
+    na = load(spark, sf_dir, "nation")
+    re = load(spark, sf_dir, "region")
+    eg = na.select(
+        F.concat(F.lit("r"), F.col("n_regionkey").cast("string")).alias("src"),
+        F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias("dst"))
+    eh = re.select(
+        F.col("r_regionkey").cast("string").alias("src"),
+        ((F.col("r_regionkey") + 1) % 5).cast("string").alias("dst"))
+    return Graph.from_edges(eg), Graph.from_edges(eh)
+
+
+def q_tensor_product(spark, sf_dir):
+    from networkx_spark.operators.products import tensor_product
+    a, b = _product_pair(spark, sf_dir)
+    return tensor_product(a, b).edges.select("src", "dst")
+
+
+def q_cartesian_product(spark, sf_dir):
+    from networkx_spark.operators.products import cartesian_product
+    a, b = _product_pair(spark, sf_dir)
+    return cartesian_product(a, b).edges.select("src", "dst")
+
+
+SQL_PRODUCT_PAIR = """
+eg AS (SELECT 'r' || CAST(n_regionkey AS VARCHAR) AS src,
+              'n' || CAST(n_nationkey AS VARCHAR) AS dst FROM nation),
+eh AS (SELECT CAST(r_regionkey AS VARCHAR) AS src,
+              CAST((r_regionkey + 1) % 5 AS VARCHAR) AS dst FROM region)
+"""
+
+SQL_TENSOR_PRODUCT = f"""
+WITH {SQL_PRODUCT_PAIR}
+SELECT DISTINCT eg.src || '|' || eh.src AS src,
+                eg.dst || '|' || eh.dst AS dst
+FROM eg CROSS JOIN eh
+"""
+
+SQL_CARTESIAN_PRODUCT = f"""
+WITH {SQL_PRODUCT_PAIR},
+vg AS (SELECT src AS v FROM eg UNION SELECT dst FROM eg),
+vh AS (SELECT src AS v FROM eh UNION SELECT dst FROM eh)
+SELECT DISTINCT src, dst FROM (
+    SELECT vg.v || '|' || eh.src AS src, vg.v || '|' || eh.dst AS dst
+    FROM vg CROSS JOIN eh
+    UNION ALL
+    SELECT eg.src || '|' || vh.v, eg.dst || '|' || vh.v
+    FROM vh CROSS JOIN eg
+)
+"""
+
+
 QUERIES.update({
     "sssp_pred": (q_sssp_pred, SQL_SSSP_PRED),
     "bfs_tree": (q_bfs_tree, SQL_BFS_TREE),
     "attr_assortativity": (q_attr_assortativity, SQL_ATTR_ASSORTATIVITY),
     "k_truss": (q_k_truss, SQL_K_TRUSS),
     "fast_lpa": (q_fast_lpa, SQL_FAST_LPA_GOLDEN),
+    "tensor_product": (q_tensor_product, SQL_TENSOR_PRODUCT),
+    "cartesian_product": (q_cartesian_product, SQL_CARTESIAN_PRODUCT),
 })
