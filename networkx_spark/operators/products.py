@@ -147,3 +147,59 @@ def lexicographic_product(a: Graph, b: Graph, sep: str = SEP,
     e2 = _nodes_cross_edges(a.vertices(), _directional_edges(b), sep,
                             node_first=True)
     return _finish(a, e1.unionByName(e2), _product_vertices(a, b, sep))
+
+
+def power(g: Graph, k: int, max_edges: int = 50_000_000) -> Graph:
+    """k-th graph power (``product.py:347``): distinct u ≠ v adjacent in
+    ``G^k`` iff their shortest-path distance in G is at most k.
+    Undirected simple graphs only, like the reference.
+
+    Built as k−1 rounds of frontier ⋈ adjacency with a distinct cut —
+    boolean sparse-matrix powering, the same join the BFS kernel uses;
+    small-world graphs densify fast, so growth is guarded per round.
+    """
+    if g.directed:
+        raise ValueError("power() is defined for undirected graphs "
+                         "(reference @not_implemented_for('directed'))")
+    if k <= 0:
+        raise ValueError(f"k must be a positive integer, got {k}")
+    # self-loops never appear in G^k (the reference's BFS marks the seed
+    # at distance 0, so n is never re-added for itself)
+    adj = (_directional_edges(g).select(SRC, DST)
+           .filter(F.col(SRC) != F.col(DST)).cache())
+    reach = adj
+    for _ in range(k - 1):
+        hop = (reach.alias("r")
+               .join(adj.alias("a"), F.col(f"r.{DST}") == F.col(f"a.{SRC}"))
+               .select(F.col(f"r.{SRC}").alias(SRC),
+                       F.col(f"a.{DST}").alias(DST))
+               .filter(F.col(SRC) != F.col(DST)))
+        reach = reach.unionByName(hop).distinct()
+        # materialized by the distinct: cheap to count, and the count
+        # guards the small-world densification blowup
+        n_e = reach.count()
+        if n_e > max_edges:
+            raise ValueError(
+                f"G^{k} exceeded max_edges={max_edges:,} ({n_e:,} directed "
+                "reach pairs) — small-world powers densify to ~n²; raise "
+                "the cap explicitly if you mean it")
+    e = reach.withColumn(WEIGHT, F.lit(1.0))
+    return Graph.from_edges(e, directed=False, weight=WEIGHT,
+                            vertices=g.vertices(), combine="max")
+
+
+def rooted_product(a: Graph, b: Graph, root, sep: str = SEP) -> Graph:
+    """Rooted product (``product.py:436``): one copy of H per G vertex,
+    G's edges wired between the copies' roots.  Undirected, like the
+    reference's construction."""
+    if a.directed or b.directed:
+        raise ValueError("rooted_product is defined on undirected graphs")
+    has_root = b.vertices().filter(F.col(ID) == F.lit(root)).count()
+    if not has_root:
+        raise ValueError(f"root {root!r} must be a vertex in H")
+    e1 = a.edges.select(
+        _pair(F.col(SRC), F.lit(root), sep).alias(SRC),
+        _pair(F.col(DST), F.lit(root), sep).alias(DST),
+        WEIGHT)
+    e2 = _nodes_cross_edges(a.vertices(), b.edges, sep, node_first=True)
+    return _finish(a, e1.unionByName(e2), _product_vertices(a, b, sep))

@@ -92,3 +92,46 @@ def test_lexicographic_guard(spark):
     a, b = _spark_pair(spark, False)
     with pytest.raises(ValueError):
         lexicographic_product(a, b, max_h_vertices=2)
+
+
+# ------------------------------------------------------- power / rooted
+from networkx_spark.operators.products import power, rooted_product
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_power_matches_reference(spark, k):
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (2, 6)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    G = nx.Graph(edges)
+    got = {frozenset((r["src"], r["dst"])) for r in power(g, k).edges.collect()}
+    # from_edge_list canonicalizes fixture ids to strings
+    want = {frozenset((str(u), str(v))) for u, v in nx.power(G, k).edges}
+    assert got == want
+
+
+def test_power_guards(spark):
+    g = Graph.from_edge_list(spark, [(0, 1)], directed=False)
+    with pytest.raises(ValueError):
+        power(g, 0)
+    with pytest.raises(ValueError):
+        power(Graph.from_edge_list(spark, [(0, 1)], directed=True), 2)
+    with pytest.raises(ValueError):
+        power(Graph.from_edge_list(spark, [(0, 1), (1, 2), (0, 2)],
+                                   directed=False), 2, max_edges=3)
+
+
+def test_rooted_product_matches_reference(spark):
+    g = Graph.from_edge_list(spark, G_EDGES, directed=False, nodes=G_NODES)
+    h = Graph.from_edge_list(spark, H_EDGES, directed=False, nodes=H_NODES)
+    A, B = _nx_pair(False)
+    got_nodes, got_edges = _eng_sets(rooted_product(g, h, "a"), False)
+    want_nodes, want_edges = _ref_sets(nx.rooted_product(A, B, "a"), False)
+    assert got_nodes == want_nodes
+    assert got_edges == want_edges
+
+
+def test_rooted_product_root_missing(spark):
+    g = Graph.from_edge_list(spark, G_EDGES, directed=False)
+    h = Graph.from_edge_list(spark, H_EDGES, directed=False)
+    with pytest.raises(ValueError):
+        rooted_product(g, h, "zzz")
