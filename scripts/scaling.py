@@ -157,6 +157,30 @@ def _collect_safe(proc: subprocess.Popen):
         return None
 
 
+def _collect_concurrent(procs: list[subprocess.Popen]) -> list[dict]:
+    """Collect every proc in its own thread.  Collecting sequentially
+    (the round-1..3 behaviour) left the later procs' stderr PIPEs
+    undrained while blocked on the first ``communicate()``; Spark's WARN
+    logging fills the 64 KiB pipe buffer in minutes, the JVM's log4j
+    appender blocks on the write, scheduler RPC threads stall behind it,
+    and the "node" dies of heartbeat timeouts — the actual cause of the
+    round-3 control-JVM deaths, misattributed then to hypervisor steal."""
+    import threading
+
+    slots: list = [None] * len(procs)
+
+    def run(i, p):
+        slots[i] = _collect_safe(p)
+
+    threads = [threading.Thread(target=run, args=(i, p), daemon=True)
+               for i, p in enumerate(procs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    return [c for c in slots if c]
+
+
 def measure_bandwidth() -> list[tuple[int, float]]:
     """STREAM-triad aggregate GB/s at 1/8/32 concurrent processes — the
     box's memory-parallelism envelope, reported for context."""
@@ -198,6 +222,11 @@ def main() -> None:
     ap.add_argument("--driver-mem", default="48g")
     ap.add_argument("--control-driver-mem", default="24g")
     ap.add_argument("--no-control", action="store_true")
+    ap.add_argument("--solo-json", default="",
+                    help="file holding prior 'COLLECTED {json}' lines for the "
+                         "solo legs — skip rerunning them, go straight to the "
+                         "control (legs and control stay comparable as long "
+                         "as input + worker code are unchanged)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH.md"))
     args = ap.parse_args()
 
@@ -219,9 +248,18 @@ def main() -> None:
                 .write.mode("overwrite").parquet(args.edges_path)
             spark.stop()
 
-    results = []
-    for cores in [int(c) for c in args.cores.split(",")]:
-        results.append(_collect(_spawn(cores, args)))
+    if args.solo_json:
+        with open(args.solo_json) as fh:
+            results = [json.loads(l.split(" ", 1)[1]) for l in fh
+                       if l.startswith("COLLECTED ")]
+        want = [int(c) for c in args.cores.split(",")]
+        results = [r for r in results if r["cores"] in want]
+        assert [r["cores"] for r in results] == want, \
+            f"--solo-json legs {[r['cores'] for r in results]} != --cores {want}"
+    else:
+        results = []
+        for cores in [int(c) for c in args.cores.split(",")]:
+            results.append(_collect(_spawn(cores, args)))
 
     lo, hi = results[0], results[-1]
     ratio = round(hi["cores"] / lo["cores"])
@@ -235,7 +273,7 @@ def main() -> None:
         ctrl_args = argparse.Namespace(**vars(args))
         ctrl_args.driver_mem = args.control_driver_mem
         procs = [_spawn(lo["cores"], ctrl_args) for _ in range(ratio)]
-        control = [c for c in (_collect_safe(p) for p in procs) if c]
+        control = _collect_concurrent(procs)
         ctrl_full = bool(control) and len(control) == ratio
         if control:
             ctrl_agg = sum(c["edges_per_sec_steady"] for c in control)
