@@ -1350,3 +1350,297 @@ QUERIES.update({
     "tensor_product": (q_tensor_product, SQL_TENSOR_PRODUCT),
     "cartesian_product": (q_cartesian_product, SQL_CARTESIAN_PRODUCT),
 })
+
+
+# --------------------- round 4b: centrality / DAG / reciprocity / clusters
+CL_SOURCES = 50    # closeness/harmonic sources: ids 0..49
+CL_ROUNDS = 5      # unrolled BFS rounds; measured max eccentricity from the
+                   # sources at sf0.01 is 3, rounds past fixpoint are no-ops
+
+
+def _multi_bfs_dist_sql(n_src: int = CL_SOURCES, rounds: int = CL_ROUNDS) -> str:
+    """Shared oracle CTE prefix: batched BFS distance table
+    ``vis{rounds}(s, id, d)`` over the undirected derived graph from
+    sources ``id < n_src`` — frontier-materialized per level (the
+    recursive-walk form would enumerate every ≤64-hop path for 50
+    sources; the unrolled anti-join form is |V|·sources bounded)."""
+    parts = [
+        f"u AS MATERIALIZED ({UEDGES_SQL})",
+        "sym AS MATERIALIZED (SELECT src, dst FROM u "
+        "UNION ALL SELECT dst, src FROM u)",
+        f"v AS MATERIALIZED ({VERTS_SQL})",
+        f"vis0 AS MATERIALIZED (SELECT id AS s, id, 0 AS d FROM v "
+        f"WHERE id < {n_src})",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"vis{k} AS MATERIALIZED ("
+            f"SELECT s, id, d FROM vis{k - 1} UNION ALL "
+            f"SELECT DISTINCT f.s, e.dst AS id, {k} AS d "
+            f"FROM vis{k - 1} f JOIN sym e ON e.src = f.id "
+            f"WHERE f.d = {k - 1} AND NOT EXISTS "
+            f"(SELECT 1 FROM vis{k - 1} w WHERE w.s = f.s AND w.id = e.dst))")
+    return ",\n".join(parts)
+
+
+def q_closeness(spark, sf_dir):
+    """Wasserman–Faust closeness for vertices 0..{CL_SOURCES} of the
+    undirected derived graph (``centrality.py:closeness_centrality``;
+    reference ``centrality/closeness.py:20``) — the sampled-sources scale
+    path, exercised exactly."""
+    from networkx_spark.algorithms.centrality import closeness_centrality
+    g = derived_graph(spark, sf_dir, directed=False)
+    srcs = g.vertices().filter(F.col("id") < CL_SOURCES)
+    return (closeness_centrality(g, sources=srcs)
+            .select("id", F.round("closeness", 6).alias("closeness")))
+
+
+SQL_CLOSENESS = f"""
+WITH {_multi_bfs_dist_sql()},
+agg AS (SELECT s, count(*) AS r, sum(d) AS tot
+        FROM vis{CL_ROUNDS} GROUP BY s),
+n AS (SELECT count(*) AS n FROM v)
+SELECT s AS id,
+       round(CASE WHEN r > 1 AND tot > 0
+             THEN ((r - 1.0) / tot) * ((r - 1.0) / ((SELECT n FROM n) - 1))
+             ELSE 0.0 END, 6) AS closeness
+FROM agg
+"""
+
+
+def q_harmonic(spark, sf_dir):
+    """Harmonic centrality for the same source set
+    (``centrality.py:harmonic_centrality``; reference
+    ``centrality/harmonic.py:13``)."""
+    from networkx_spark.algorithms.centrality import harmonic_centrality
+    g = derived_graph(spark, sf_dir, directed=False)
+    srcs = g.vertices().filter(F.col("id") < CL_SOURCES)
+    return (harmonic_centrality(g, sources=srcs)
+            .select("id", F.round("harmonic", 6).alias("harmonic")))
+
+
+SQL_HARMONIC = f"""
+WITH {_multi_bfs_dist_sql()}
+SELECT s AS id,
+       round(coalesce(sum(CASE WHEN d > 0 THEN 1.0 / d END), 0), 6) AS harmonic
+FROM vis{CL_ROUNDS} GROUP BY s
+"""
+
+
+def q_reciprocity(spark, sf_dir):
+    """Overall reciprocity of the directed derived graph
+    (``reciprocity.py:overall_reciprocity``; reference
+    ``algorithms/reciprocity.py:83``)."""
+    from networkx_spark.algorithms.reciprocity import overall_reciprocity
+    val = overall_reciprocity(derived_graph(spark, sf_dir))
+    return spark.createDataFrame([(round(val, 6),)], "reciprocity double")
+
+
+SQL_RECIPROCITY = f"""
+WITH e AS MATERIALIZED ({EDGES_SQL})
+SELECT round(
+    (SELECT count(*) FROM e a WHERE EXISTS
+        (SELECT 1 FROM e b WHERE b.src = a.dst AND b.dst = a.src))::DOUBLE
+    / (SELECT count(*) FROM e), 6) AS reciprocity
+"""
+
+
+def q_density(spark, sf_dir):
+    """Directed density m/(n(n−1)) (``graph.py:density``; reference
+    ``classes/function.py:104``)."""
+    val = derived_graph(spark, sf_dir).density()
+    return spark.createDataFrame([(round(val, 6),)], "density double")
+
+
+SQL_DENSITY = f"""
+WITH e AS MATERIALIZED ({EDGES_SQL}), v AS ({VERTS_SQL})
+SELECT round((SELECT count(*) FROM e)::DOUBLE
+             / ((SELECT count(*) FROM v) * ((SELECT count(*) FROM v) - 1)),
+             6) AS density
+"""
+
+
+def q_component_sizes(spark, sf_dir):
+    from networkx_spark.algorithms.components import component_sizes
+    g = derived_graph(spark, sf_dir, directed=False)
+    return component_sizes(g)
+
+
+SQL_COMPONENT_SIZES = f"""
+WITH c AS ({SQL_CONNECTED_COMPONENTS})
+SELECT component, count(*) AS size FROM c GROUP BY component
+"""
+
+
+def q_largest_component(spark, sf_dir):
+    from networkx_spark.algorithms.components import largest_component
+    g = derived_graph(spark, sf_dir, directed=False)
+    return largest_component(g)
+
+
+SQL_LARGEST_COMPONENT = f"""
+WITH c AS ({SQL_CONNECTED_COMPONENTS}),
+s AS (SELECT component, count(*) AS n FROM c GROUP BY component),
+top AS (SELECT component FROM s ORDER BY n DESC, component LIMIT 1)
+SELECT id FROM c WHERE component = (SELECT component FROM top)
+"""
+
+
+# second derived edge set for the binary set-operation rows
+E2_SQL = f"""
+SELECT DISTINCT l_orderkey % {MOD} AS src, l_suppkey % {DST_MOD} AS dst
+FROM lineitem WHERE l_orderkey % {MOD} <> l_suppkey % {DST_MOD}
+"""
+
+
+def _derived_edges2(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    return (li.select((F.col("l_orderkey") % MOD).alias("src"),
+                      (F.col("l_suppkey") % DST_MOD).alias("dst"))
+            .filter(F.col("src") != F.col("dst")).distinct())
+
+
+def q_compose(spark, sf_dir):
+    """Edge set of compose(G, H) over the two derived graphs
+    (``operators/setops.py:compose``; reference ``binary.py:292``)."""
+    from networkx_spark.operators.setops import compose
+    a = derived_graph(spark, sf_dir)
+    b = Graph.from_edges(_derived_edges2(spark, sf_dir))
+    return compose(a, b).edges.select("src", "dst")
+
+
+SQL_COMPOSE = f"""
+SELECT src, dst FROM ({EDGES_SQL}) UNION SELECT src, dst FROM ({E2_SQL})
+"""
+
+
+def q_symmetric_difference(spark, sf_dir):
+    """Edges in exactly one of the two derived graphs
+    (``operators/setops.py:symmetric_difference``; reference
+    ``binary.py:229``)."""
+    from networkx_spark.operators.setops import symmetric_difference
+    a = derived_graph(spark, sf_dir)
+    b = Graph.from_edges(_derived_edges2(spark, sf_dir))
+    return symmetric_difference(a, b).edges.select("src", "dst")
+
+
+SQL_SYMMETRIC_DIFFERENCE = f"""
+WITH e1 AS MATERIALIZED ({EDGES_SQL}), e2 AS MATERIALIZED ({E2_SQL})
+SELECT src, dst FROM e1 WHERE NOT EXISTS
+    (SELECT 1 FROM e2 WHERE e2.src = e1.src AND e2.dst = e1.dst)
+UNION ALL
+SELECT src, dst FROM e2 WHERE NOT EXISTS
+    (SELECT 1 FROM e1 WHERE e1.src = e2.src AND e1.dst = e2.dst)
+"""
+
+
+# --------------------------------------------------- topological generations
+DAG_SQL = """
+SELECT DISTINCT 's' || CAST(l_suppkey % 50 AS VARCHAR) AS src,
+                'p' || CAST(l_partkey % 200 AS VARCHAR) AS dst FROM lineitem
+UNION SELECT DISTINCT 'p' || CAST(l_partkey % 200 AS VARCHAR),
+                      'o' || CAST(l_orderkey % 500 AS VARCHAR) FROM lineitem
+UNION SELECT DISTINCT 'o' || CAST(o_orderkey % 500 AS VARCHAR),
+                      'c' || CAST(o_custkey % 300 AS VARCHAR) FROM orders
+"""
+
+
+def _dag_edges(spark, sf_dir):
+    li = load(spark, sf_dir, "lineitem")
+    od = load(spark, sf_dir, "orders")
+    sp = F.concat(F.lit("s"), (F.col("l_suppkey") % 50).cast("string"))
+    pp = F.concat(F.lit("p"), (F.col("l_partkey") % 200).cast("string"))
+    po = F.concat(F.lit("o"), (F.col("l_orderkey") % 500).cast("string"))
+    oo = F.concat(F.lit("o"), (F.col("o_orderkey") % 500).cast("string"))
+    oc = F.concat(F.lit("c"), (F.col("o_custkey") % 300).cast("string"))
+    return (li.select(sp.alias("src"), pp.alias("dst"))
+            .unionByName(li.select(pp.alias("src"), po.alias("dst")))
+            .unionByName(od.select(oo.alias("src"), oc.alias("dst")))
+            .distinct())
+
+
+def q_topo_generations(spark, sf_dir):
+    """Kahn-peeling topological generations of the supplier→part→order→
+    customer layer DAG (``dag.py:topological_generations``; reference
+    ``algorithms/dag.py:242``)."""
+    from networkx_spark.algorithms.dag import topological_generations
+    g = Graph.from_edges(_dag_edges(spark, sf_dir))
+    return topological_generations(g)
+
+
+SQL_TOPO_GENERATIONS = f"""
+WITH RECURSIVE e AS MATERIALIZED ({DAG_SQL}),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+roots AS (SELECT id FROM v WHERE id NOT IN (SELECT dst FROM e)),
+walk(id, d) AS (
+    SELECT id, 0 FROM roots
+    UNION
+    SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.id
+    WHERE walk.d < 10
+)
+SELECT id, max(d) AS generation FROM walk GROUP BY id
+"""
+
+
+# ------------------------------------------------------ dedup: full clusters
+def q_dedup_clusters(spark, sf_dir):
+    """End-to-end near-duplicate clustering: MinHash-LSH candidates →
+    exact-Jaccard ≥ 0.4 → connected components → canonical keep flag
+    (``pipeline/dedup.py:duplicate_clusters``)."""
+    from networkx_spark.pipeline.dedup import duplicate_clusters
+    return duplicate_clusters(load(spark, sf_dir, "documents"),
+                              k=3, threshold=0.4)
+
+
+SQL_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE cand AS MATERIALIZED ({SQL_LSH_CANDIDATES}),
+jac AS MATERIALIZED ({SQL_JACCARD}),
+pairs AS (SELECT cand.a, cand.b FROM cand JOIN jac
+          ON jac.a = cand.a AND jac.b = cand.b),
+sym AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+reach(id, r) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.id
+)
+SELECT id AS doc_id, min(r) AS cluster, id = min(r) AS keep
+FROM reach GROUP BY id
+"""
+
+
+# ------------------------------------------------------------- google matrix
+def q_google_matrix(spark, sf_dir):
+    """Dense PageRank transition matrix of the 5-region cycle as (i, j, m)
+    rows (``convert.py:google_matrix``; reference
+    ``link_analysis/pagerank_alg.py:176``)."""
+    from networkx_spark.convert import google_matrix
+    re_t = load(spark, sf_dir, "region")
+    e = re_t.select(F.col("r_regionkey").alias("src"),
+                    ((F.col("r_regionkey") + 1) % 5).alias("dst"))
+    m, nodes = google_matrix(Graph.from_edges(e))
+    rows = [(int(nodes[i]), int(nodes[j]), round(float(m[i][j]), 6))
+            for i in range(len(nodes)) for j in range(len(nodes))]
+    return spark.createDataFrame(rows, "i long, j long, m double")
+
+
+SQL_GOOGLE_MATRIX = """
+SELECT a.r_regionkey AS i, b.r_regionkey AS j,
+       round(0.85 * (CASE WHEN b.r_regionkey = (a.r_regionkey + 1) % 5
+                     THEN 1.0 ELSE 0.0 END)::DOUBLE + 0.03, 6) AS m
+FROM region a CROSS JOIN region b
+"""
+
+
+QUERIES.update({
+    "closeness": (q_closeness, SQL_CLOSENESS),
+    "harmonic": (q_harmonic, SQL_HARMONIC),
+    "reciprocity": (q_reciprocity, SQL_RECIPROCITY),
+    "density": (q_density, SQL_DENSITY),
+    "component_sizes": (q_component_sizes, SQL_COMPONENT_SIZES),
+    "largest_component": (q_largest_component, SQL_LARGEST_COMPONENT),
+    "compose": (q_compose, SQL_COMPOSE),
+    "symmetric_difference": (q_symmetric_difference, SQL_SYMMETRIC_DIFFERENCE),
+    "topo_generations": (q_topo_generations, SQL_TOPO_GENERATIONS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
+    "google_matrix": (q_google_matrix, SQL_GOOGLE_MATRIX),
+})

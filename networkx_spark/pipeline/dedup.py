@@ -224,3 +224,37 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
              .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))))
     return (pairs.filter(F.col("hamming") <= max_hamming)
             .select("a", "b", "hamming"))
+
+
+def duplicate_clusters(docs: DataFrame, k: int = 3, threshold: float = 0.8,
+                       bands: int = DEFAULT_BANDS,
+                       id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, cluster, keep): transitive near-duplicate clusters — the
+    end-to-end dedup pipeline a training-data build runs.
+
+    MinHash-LSH candidates → exact-Jaccard verification (≥ ``threshold``)
+    → connected components over the verified pair graph (near-duplication
+    is not transitive, so cluster = CC is the standard closure) →
+    ``cluster`` = the component's minimum doc id, ``keep`` = true for that
+    canonical representative only.  Docs with no near-duplicate are their
+    own singleton cluster with ``keep`` = true.
+
+    Scale posture: every stage is the bucketed path (banded LSH self-join,
+    candidate-first verification, hash-min CC whose superstep count is the
+    near-dup cluster diameter — tiny in practice); nothing is quadratic in
+    corpus size.
+    """
+    from networkx_spark.algorithms.components import connected_components
+    from networkx_spark.graph import Graph
+
+    pairs = near_duplicates_minhash(docs, k=k, threshold=threshold,
+                                    bands=bands)
+    g = Graph.from_edges(
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
+        directed=False)
+    labels = connected_components(g)       # (id, component) = min id in CC
+    return (docs.select(F.col(id_col).alias("doc_id"))
+            .join(labels.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", F.col("doc_id")).alias("cluster"))
+            .withColumn("keep", F.col("doc_id") == F.col("cluster")))

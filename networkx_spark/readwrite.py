@@ -432,3 +432,163 @@ def read_gml(spark: SparkSession, path: str) -> Graph:
     if not node_rows:
         v = v.limit(0)
     return Graph.from_edges(e, directed=directed, weight=WEIGHT, vertices=v)
+
+
+# -------------------------------------------------------------------- GEXF
+# Reference: ``networkx/readwrite/gexf.py`` (``write_gexf`` ``:40``,
+# ``read_gexf`` ``:160``) — the Gephi-native format.  Same posture as
+# GraphML: <node>/<edge> elements render JVM-side (codegen concat +
+# regexp escaping), the driver streams header + part files + footer into
+# the single document; the read is a driver-side ElementTree parse.
+
+_GEXF_NS = "http://www.gexf.net/1.2draft"
+_GEXF_TYPES = {"string": "string", "double": "double", "float": "float",
+               "bigint": "long", "int": "integer", "smallint": "integer",
+               "tinyint": "integer", "boolean": "boolean"}
+_GEXF_CASTS = {"string": "string", "double": "double", "float": "float",
+               "long": "bigint", "integer": "int", "boolean": "boolean"}
+
+
+def _gexf_attvalues(df: DataFrame, keys: list[str]):
+    parts = []
+    for i, k in enumerate(keys):
+        parts.append(F.when(
+            F.col(k).isNotNull(),
+            F.concat(F.lit(f'<attvalue for="{i}" value="'),
+                     _xml_escape(F.col(k)), F.lit('"/>'))).otherwise(F.lit("")))
+    if not parts:
+        return F.lit("")
+    return F.concat(F.lit("<attvalues>"), *parts, F.lit("</attvalues>"))
+
+
+def write_gexf(g: Graph, path: str) -> None:
+    """Single-file GEXF 1.2 document (``gexf.py:40``): node ``label`` =
+    vertex id (the reference's default when no label attribute exists,
+    ``gexf.py:388-392``), per-edge ``weight``, attribute tables declared
+    per class with 0-based attribute ids like the reference's
+    ``attr_id`` counter."""
+    import glob
+    import shutil
+    import tempfile
+
+    vkeys = _attr_keys(g._vertex_attrs, (ID,))
+    ekeys = _attr_keys(g._edge_attrs, (SRC, DST))
+
+    verts = g.vertices()
+    if g._vertex_attrs is not None:
+        verts = verts.join(g._vertex_attrs, ID, "left")
+    nodes = verts.select(F.concat(
+        F.lit('<node id="'), _xml_escape(F.col(ID)),
+        F.lit('" label="'), _xml_escape(F.col(ID)), F.lit('">'),
+        _gexf_attvalues(verts, [k for k, _ in vkeys]),
+        F.lit("</node>")).alias("value"))
+
+    edges = g.edges
+    if g._edge_attrs is not None:
+        edges = edges.join(g._edge_attrs, [SRC, DST], "left")
+    erows = edges.select(F.concat(
+        F.lit('<edge source="'), _xml_escape(F.col(SRC)),
+        F.lit('" target="'), _xml_escape(F.col(DST)),
+        F.lit('" weight="'), F.col(WEIGHT).cast("string"), F.lit('">'),
+        _gexf_attvalues(edges, [k for k, _ in ekeys]),
+        F.lit("</edge>")).alias("value"))
+
+    tmp = tempfile.mkdtemp(prefix="nxs_gexf_")
+    try:
+        nodes.write.mode("overwrite").text(f"{tmp}/nodes")
+        erows.write.mode("overwrite").text(f"{tmp}/edges")
+        mode = "directed" if g.directed else "undirected"
+        with open(path, "w", encoding="utf-8") as out:
+            out.write("<?xml version='1.0' encoding='utf-8'?>\n")
+            out.write(f'<gexf xmlns="{_GEXF_NS}" version="1.2">\n')
+            out.write(f'<graph defaultedgetype="{mode}" mode="static">\n')
+            for cls, keys in (("node", vkeys), ("edge", ekeys)):
+                if keys:
+                    out.write(f'<attributes class="{cls}">\n')
+                    for i, (name, typ) in enumerate(keys):
+                        gt = {"long": "long", "int": "integer",
+                              "boolean": "boolean", "float": "float",
+                              "double": "double"}.get(typ, "string")
+                        out.write(f'<attribute id="{i}" title="{name}" '
+                                  f'type="{gt}"/>\n')
+                    out.write("</attributes>\n")
+            out.write("<nodes>\n")
+            for part in sorted(glob.glob(f"{tmp}/nodes/part-*")):
+                with open(part, encoding="utf-8") as fh:
+                    shutil.copyfileobj(fh, out)
+            out.write("</nodes>\n<edges>\n")
+            for part in sorted(glob.glob(f"{tmp}/edges/part-*")):
+                with open(part, encoding="utf-8") as fh:
+                    shutil.copyfileobj(fh, out)
+            out.write("</edges>\n</graph>\n</gexf>\n")
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def read_gexf(spark: SparkSession, path: str) -> Graph:
+    """Parse a GEXF document into a :class:`Graph` (+ attribute tables) —
+    ``read_gexf`` (``gexf.py:160``).  Attribute values cast per the
+    ``<attribute>`` declarations; edge ``weight`` defaults to 1."""
+    import xml.etree.ElementTree as ET
+
+    def local(tag):
+        return tag.rsplit("}", 1)[-1]
+
+    root = ET.parse(path).getroot()
+    graph_el = next(el for el in root.iter() if local(el.tag) == "graph")
+    directed = graph_el.get("defaultedgetype", "undirected") == "directed"
+
+    attrs = {"node": {}, "edge": {}}
+    for el in root.iter():
+        if local(el.tag) == "attributes":
+            cls = el.get("class", "node")
+            for a in el:
+                if local(a.tag) == "attribute":
+                    attrs[cls][a.get("id")] = (a.get("title"),
+                                               a.get("type", "string"))
+
+    def attvalues(el, cls):
+        out = {}
+        for child in el.iter():
+            if local(child.tag) == "attvalue" and child.get("for") in attrs[cls]:
+                name, _ = attrs[cls][child.get("for")]
+                out[name] = child.get("value")
+        return out
+
+    nodes, edges = [], []
+    for el in root.iter():
+        t = local(el.tag)
+        if t == "node" and el.get("id") is not None:
+            nodes.append({ID: el.get("id"), **attvalues(el, "node")})
+        elif t == "edge":
+            edges.append({SRC: el.get("source"), DST: el.get("target"),
+                          "weight": el.get("weight", "1.0"),
+                          **attvalues(el, "edge")})
+
+    vcols = [attrs["node"][k] for k in sorted(attrs["node"])]
+    ecols = [attrs["edge"][k] for k in sorted(attrs["edge"])]
+    e = spark.createDataFrame(
+        [(r[SRC], r[DST], float(r["weight"]),
+          *[r.get(n) for n, _ in ecols]) for r in edges] or
+        [("", "", 1.0, *[None] * len(ecols))],
+        schema="src string, dst string, weight double"
+               + "".join(f", {n} string" for n, _ in ecols))
+    if not edges:
+        e = e.limit(0)
+    v = spark.createDataFrame(
+        [(r[ID], *[r.get(n) for n, _ in vcols]) for r in nodes] or
+        [("", *[None] * len(vcols))],
+        schema="id string" + "".join(f", {n} string" for n, _ in vcols))
+    if not nodes:
+        v = v.limit(0)
+    for n, t in vcols:
+        v = v.withColumn(n, F.col(n).cast(_GEXF_CASTS.get(t, "string")))
+    for n, t in ecols:
+        e = e.withColumn(n, F.col(n).cast(_GEXF_CASTS.get(t, "string")))
+    out = Graph.from_edges(e.select(SRC, DST, WEIGHT), directed=directed,
+                           weight=WEIGHT, vertices=v.select(ID))
+    if vcols:
+        out = out.with_vertex_attrs(v)
+    if ecols:
+        out = out.with_edge_attrs(e.drop(WEIGHT))
+    return out

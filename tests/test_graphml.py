@@ -105,3 +105,49 @@ def test_gml_self_round_trip(spark, tmp_path):
     assert ({tuple(r) for r in g1.edges.collect()}
             == {tuple(r) for r in g0.edges.collect()})
     assert g1.vertices().count() == 4
+
+
+# -------------------------------------------------------------------- GEXF
+def test_write_gexf_read_by_reference(spark, tmp_path):
+    from networkx_spark.readwrite import write_gexf
+    path = os.path.join(tmp_path, "g.gexf")
+    write_gexf(_sample(spark), path)
+    G = nx.read_gexf(path)
+    assert isinstance(G, nx.DiGraph)
+    assert set(G.nodes) == {"a", "b", "c", "lonely"}
+    assert G.nodes["b"]["name"] == 'beta <&> "q"'
+    assert G.nodes["c"]["rank"] == 3
+    assert G["a"]["b"]["weight"] == 2.5
+    assert G["a"]["b"]["rel"] == "friend"
+
+
+def test_read_gexf_written_by_reference(spark, tmp_path):
+    from networkx_spark.readwrite import read_gexf
+    G = nx.Graph()
+    G.add_edge("x", "y", weight=3.5, rel="near")
+    G.add_edge("y", "z", weight=1.0)
+    G.add_node("solo", color="red")
+    path = os.path.join(tmp_path, "ref.gexf")
+    nx.write_gexf(G, path)
+    g = read_gexf(spark, path)
+    assert not g.directed
+    assert {r["id"] for r in g.vertices().collect()} == {"x", "y", "z", "solo"}
+    edges = {(r["src"], r["dst"]): r["weight"] for r in g.edges.collect()}
+    assert edges[("x", "y")] == 3.5
+    va = {r["id"]: r["color"] for r in g._vertex_attrs.collect()}
+    assert va["solo"] == "red"
+
+
+def test_gexf_self_round_trip(spark, tmp_path):
+    from networkx_spark.readwrite import read_gexf, write_gexf
+    path = os.path.join(tmp_path, "rt.gexf")
+    g0 = _sample(spark)
+    write_gexf(g0, path)
+    g1 = read_gexf(spark, path)
+    assert g1.directed
+    assert ({tuple(r) for r in g1.edges.select("src", "dst", "weight").collect()}
+            == {tuple(r) for r in g0.edges.select("src", "dst", "weight").collect()})
+    # the reader materializes an attr row per node (absent attrs NULL)
+    got = {tuple(r) for r in g1._vertex_attrs.collect()
+           if any(v is not None for v in r[1:])}
+    assert got == {tuple(r) for r in g0._vertex_attrs.collect()}
