@@ -117,3 +117,35 @@ def harmonic_centrality(g: Graph, sources: Optional[DataFrame] = None,
     base = sources if sources is not None else g.vertices()
     return (base.join(agg.withColumnRenamed("s", ID), ID, "left")
             .select(ID, F.coalesce("harmonic", F.lit(0.0)).alias("harmonic")))
+
+
+# ------------------------------------------------------- degree centrality
+def degree_centrality(g: Graph) -> DataFrame:
+    """(id, centrality) — degree / (n−1)
+    (``centrality/degree_alg.py:9-50``); n ≤ 1 → 1.0 for every node."""
+    return _degree_centrality(g, g.degrees())
+
+
+def in_degree_centrality(g: Graph) -> DataFrame:
+    """(id, centrality) — in-degree / (n−1) (``degree_alg.py:54``);
+    directed only, like the reference's ``@not_implemented_for``."""
+    if not g.directed:
+        raise ValueError("in_degree_centrality not defined for undirected "
+                         "graphs (reference raises NetworkXNotImplemented)")
+    return _degree_centrality(g, g.in_degrees())
+
+
+def out_degree_centrality(g: Graph) -> DataFrame:
+    """(id, centrality) — out-degree / (n−1) (``degree_alg.py:104``)."""
+    if not g.directed:
+        raise ValueError("out_degree_centrality not defined for undirected "
+                         "graphs (reference raises NetworkXNotImplemented)")
+    return _degree_centrality(g, g.out_degrees())
+
+
+def _degree_centrality(g: Graph, deg: DataFrame) -> DataFrame:
+    n = g.number_of_vertices()
+    if n <= 1:
+        return g.vertices().select(ID, F.lit(1.0).alias("centrality"))
+    return deg.select(ID, (F.col("degree") / F.lit(float(n - 1)))
+                      .alias("centrality"))

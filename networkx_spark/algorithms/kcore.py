@@ -146,3 +146,111 @@ def k_truss(g: Graph, k: int, max_rounds: int = 10_000) -> Graph:
         raise RuntimeError("k-truss peeling did not converge")
     finally:
         runner.close()
+
+
+def _core_members(g: Graph, k: int | None, cn: DataFrame | None
+                  ) -> tuple[DataFrame, int]:
+    """(core-number table, resolved k) — k defaults to the max core
+    (``core.py:124-149``)."""
+    if cn is None:
+        cn = core_number(g)
+    if k is None:
+        k = int(cn.agg(F.max("core")).collect()[0][0])
+    return cn, k
+
+
+def k_shell(g: Graph, k: int | None = None,
+            cn: DataFrame | None = None) -> Graph:
+    """Subgraph induced by nodes with core number exactly ``k``
+    (``core.py:228``; default k = max core)."""
+    cn, k = _core_members(g, k, cn)
+    return g.subgraph(cn.filter(F.col("core") == k).select(ID))
+
+
+def k_crust(g: Graph, k: int | None = None,
+            cn: DataFrame | None = None) -> Graph:
+    """Subgraph induced by nodes with core number ≤ ``k``
+    (``core.py:310-389``; default k = max core − 1)."""
+    if cn is None:
+        cn = core_number(g)
+    if k is None:
+        k = int(cn.agg(F.max("core")).collect()[0][0]) - 1
+    return g.subgraph(cn.filter(F.col("core") <= k).select(ID))
+
+
+def k_corona(g: Graph, k: int, cn: DataFrame | None = None) -> Graph:
+    """Subgraph of the k-core's members having EXACTLY ``k`` neighbors in
+    the k-core (``core.py:393-466``: ``c[v] == k and k == #{w ∈ G[v] :
+    c[w] ≥ k}``)."""
+    cn, k = _core_members(g, k, cn)
+    members = cn.filter(F.col("core") == k).select(ID)
+    in_core = cn.filter(F.col("core") >= k).select(ID)
+    adj = (g.symmetrized()
+           .select(F.col(SRC).alias(ID), F.col(DST).alias("nbr")))
+    cnt = (adj.join(members, ID, "semi")
+           .join(in_core.withColumnRenamed(ID, "nbr"), "nbr", "semi")
+           .groupBy(ID).agg(F.count("*").alias("_c")))
+    keep = (members.join(cnt, ID, "left")
+            .filter(F.coalesce("_c", F.lit(0)) == k).select(ID))
+    return g.subgraph(keep)
+
+
+def onion_layers(g: Graph, max_rounds: int = 100_000) -> DataFrame:
+    """(id, layer) — the onion decomposition (``core.py:554-640``):
+    repeated simultaneous removal of all minimum-degree vertices; each
+    removal round is one layer.  Isolated vertices form layer 1
+    (``:618-624``).  Undirected simple graphs without self-loops only.
+
+    Distributed peeling identical to :func:`core_number`'s inner loop but
+    with a per-round layer stamp: each round finds the current threshold
+    ``current_core = max(current_core, min alive degree)``, removes every
+    vertex at or below it, and stamps the removed set with the round's
+    layer index.  One job per round (degree agg + stamp + cut with an
+    observed survivor count)."""
+    if g.directed:
+        raise ValueError("onion_layers is not implemented for directed "
+                         "graphs (reference raises NetworkXNotImplemented)")
+    if g.selfloops().limit(1).count() > 0:
+        raise ValueError("onion_layers is not defined for graphs with "
+                         "self-loops (reference raises)")
+    runner = SuperstepRunner(None, name="onion", keep_scratch=0)
+    try:
+        spark = g.edges.sparkSession
+        result = spark.createDataFrame([], "id long, layer int")
+        layer = 1
+        iso = g.isolates()
+        if iso.limit(1).count() > 0:
+            result = iso.select(ID, F.lit(1).alias("layer"))
+            layer = 2
+        e = g.edges.select(SRC, DST)
+        # alive set tracked explicitly: a vertex whose neighbors all got
+        # removed keeps an entry at degree 0 (the reference's `degrees`
+        # dict, ``core.py:615``) and is stamped in a later layer — the
+        # edge table alone would lose it silently
+        alive = runner.cut(g.vertices().join(iso, ID, "anti"))
+        n_alive = alive.count()
+        current_core = 1
+        while n_alive > 0 and layer < max_rounds:
+            edeg = (e.select(F.col(SRC).alias(ID))
+                    .union(e.select(F.col(DST).alias(ID)))
+                    .groupBy(ID).agg(F.count("*").alias("deg")))
+            deg = (alive.join(edeg, ID, "left")
+                   .select(ID, F.coalesce("deg", F.lit(0)).alias("deg"))).cache()
+            min_deg = int(deg.agg(F.min("deg")).collect()[0][0])
+            current_core = max(current_core, min_deg)
+            gone = deg.filter(F.col("deg") <= current_core).select(ID)
+            result = runner.cut(result.unionByName(
+                gone.select(ID, F.lit(layer).alias("layer"))))
+            keep = deg.filter(F.col("deg") > current_core).select(ID)
+            obs = Observation()
+            alive = (keep.observe(obs, F.count(F.lit(1)).alias("n")))
+            alive = runner.cut(alive)
+            n_alive = int(obs.get["n"])
+            e = runner.cut(
+                e.join(keep.withColumnRenamed(ID, SRC), SRC, "semi")
+                 .join(keep.withColumnRenamed(ID, DST), DST, "semi"))
+            deg.unpersist()
+            layer += 1
+        return result
+    finally:
+        runner.close()

@@ -245,3 +245,58 @@ def average_clustering(g: Graph, nodes=None, weight: bool = False,
         c = c.filter(F.abs(F.col("clustering")) > 0)
     row = c.agg(F.avg("clustering").alias("m")).collect()[0]
     return float(row["m"] or 0.0)
+
+
+def square_clustering(g: Graph, nodes=None) -> DataFrame:
+    """(id, square_clustering) — C4 coefficient (``cluster.py:469-540``):
+
+        C4(v) = Σ_{u<w ∈ N(v)} q_v(u,w) / Σ_{u<w ∈ N(v)} [a_v(u,w) + q_v(u,w)]
+
+    with ``q_v(u,w) = |N(u) ∩ N(w)| − 1`` (v itself always lies in the
+    intersection because u, w ∈ N(v)) and ``a_v(u,w) = (k_u − degm) +
+    (k_w − degm)`` where ``degm = q + 1 + θ_uw`` (``cluster.py:527-539``).
+    Nodes with < 2 neighbors score 0 (the reference's untouched 0 init).
+
+    Shape: the wedge table (Σ d_v² rows) joined with the pair-level
+    common-neighbor counts — which are the SAME wedge table aggregated by
+    (u, w) — plus degrees and a canonical-edge existence flag.  Unlike
+    triangle counting no acyclic orientation can prune the enumeration
+    (every pair at every corner genuinely contributes), so hub vertices
+    cost their d² wedges; at web scale restrict via ``nodes`` after a
+    degree cap, like the reference's per-nbunch form.
+    """
+    if g.directed:
+        raise ValueError("square_clustering is not implemented for directed "
+                         "graphs here; symmetrize explicitly first")
+    sym = (g.symmetrized().filter(F.col(SRC) != F.col(DST))
+           .select(F.col(SRC).alias("v"), F.col(DST).alias("n")).distinct()
+           .cache())
+    deg = sym.groupBy(F.col("v").alias(ID)).agg(F.count("*").alias("k"))
+    wedges = (sym.select("v", F.col("n").alias("u"))
+              .join(sym.select(F.col("v").alias("_v2"), F.col("n").alias("w")),
+                    F.col("v") == F.col("_v2"))
+              .filter(F.col("u") < F.col("w"))
+              .select("v", "u", "w"))
+    cuw = wedges.groupBy("u", "w").agg(F.count("*").alias("_c"))
+    euw = (g.edges.filter(F.col(SRC) != F.col(DST))
+           .select(F.least(SRC, DST).alias("u"), F.greatest(SRC, DST).alias("w"))
+           .distinct().withColumn("_th", F.lit(1)))
+    per = (wedges
+           .join(cuw, ["u", "w"])
+           .join(euw, ["u", "w"], "left")
+           .join(deg.select(F.col(ID).alias("u"), F.col("k").alias("_ku")), "u")
+           .join(deg.select(F.col(ID).alias("w"), F.col("k").alias("_kw")), "w")
+           .select("v", (F.col("_c") - 1).alias("q"),
+                   ((F.col("_c") - 1) + 1
+                    + F.coalesce("_th", F.lit(0))).alias("degm"),
+                   "_ku", "_kw"))
+    agg = (per.groupBy(F.col("v").alias(ID))
+           .agg(F.sum("q").alias("_q"),
+                F.sum(F.col("_ku") - F.col("degm")
+                      + F.col("_kw") - F.col("degm")
+                      + F.col("q")).alias("_pot")))
+    out = (g.vertices().join(agg, ID, "left")
+           .select(ID, F.when(F.coalesce("_pot", F.lit(0)) > 0,
+                              F.col("_q") / F.col("_pot"))
+                   .otherwise(F.lit(0.0)).alias("square_clustering")))
+    return _nbunch(out, nodes)
