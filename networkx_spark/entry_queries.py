@@ -1644,3 +1644,201 @@ QUERIES.update({
     "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "google_matrix": (q_google_matrix, SQL_GOOGLE_MATRIX),
 })
+
+
+# ------------------- round 4c: degree statistics / rich club / distances
+def q_avg_nbr_degree(spark, sf_dir):
+    """Average in-degree of each vertex's successors on the directed
+    derived graph (``neighbor_degree.py:average_neighbor_degree``;
+    reference ``assortativity/neighbor_degree.py:7``)."""
+    from networkx_spark.algorithms.neighbor_degree import average_neighbor_degree
+    g = derived_graph(spark, sf_dir)
+    return (average_neighbor_degree(g, source="out", target="in")
+            .select("id", F.round("avg_nbr_degree", 6).alias("avg_nbr_degree")))
+
+
+SQL_AVG_NBR_DEGREE = f"""
+WITH e AS MATERIALIZED ({EDGES_SQL}),
+v AS ({VERTS_SQL}),
+tdeg AS (SELECT dst AS id, count(*) AS d FROM e GROUP BY dst),
+sdeg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+num AS (SELECT e.src AS id, sum(coalesce(t.d, 0)) AS s
+        FROM e LEFT JOIN tdeg t ON e.dst = t.id GROUP BY e.src)
+SELECT v.id,
+       round(CASE WHEN coalesce(sdeg.d, 0) = 0 THEN 0.0
+             ELSE coalesce(num.s, 0)::DOUBLE / sdeg.d END, 6) AS avg_nbr_degree
+FROM v LEFT JOIN sdeg ON v.id = sdeg.id LEFT JOIN num ON v.id = num.id
+"""
+
+
+def q_degree_connectivity(spark, sf_dir):
+    """Average nearest-neighbor degree by degree class k on the undirected
+    derived graph (``neighbor_degree.py:average_degree_connectivity``;
+    reference ``assortativity/connectivity.py:9``)."""
+    from networkx_spark.algorithms.neighbor_degree import (
+        average_degree_connectivity)
+    g = derived_graph(spark, sf_dir, directed=False)
+    return (average_degree_connectivity(g)
+            .select("k", F.round("connectivity", 6).alias("connectivity")))
+
+
+SQL_DEGREE_CONNECTIVITY = f"""
+WITH u AS MATERIALIZED ({UEDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM u UNION ALL SELECT dst, src FROM u),
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+num AS (SELECT a.src AS id, sum(t.d) AS s
+        FROM sym a JOIN deg t ON a.dst = t.id GROUP BY a.src)
+SELECT deg.d::BIGINT AS k,
+       round(sum(num.s)::DOUBLE / sum(deg.d), 6) AS connectivity
+FROM deg JOIN num USING (id) GROUP BY deg.d
+"""
+
+
+def q_degree_centrality(spark, sf_dir):
+    """degree/(n−1) on the undirected derived graph
+    (``centrality.py:degree_centrality``; reference
+    ``centrality/degree_alg.py:9``)."""
+    from networkx_spark.algorithms.centrality import degree_centrality
+    g = derived_graph(spark, sf_dir, directed=False)
+    return (degree_centrality(g)
+            .select("id", F.round("centrality", 6).alias("centrality")))
+
+
+SQL_DEGREE_CENTRALITY = f"""
+WITH u AS MATERIALIZED ({UEDGES_SQL}),
+sym AS (SELECT src, dst FROM u UNION ALL SELECT dst, src FROM u),
+v AS ({VERTS_SQL}),
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src)
+SELECT v.id, round(coalesce(deg.d, 0)::DOUBLE
+                   / ((SELECT count(*) FROM v) - 1), 6) AS centrality
+FROM v LEFT JOIN deg ON v.id = deg.id
+"""
+
+
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient φ(k) of the undirected derived graph
+    (``richclub.py:rich_club_coefficient``; reference
+    ``algorithms/richclub.py:14``)."""
+    from networkx_spark.algorithms.richclub import rich_club_coefficient
+    g = derived_graph(spark, sf_dir, directed=False)
+    return (rich_club_coefficient(g)
+            .select("k", F.round("phi", 6).alias("phi")))
+
+
+SQL_RICH_CLUB = f"""
+WITH u AS MATERIALIZED ({UEDGES_SQL}),
+sym AS (SELECT src, dst FROM u UNION ALL SELECT dst, src FROM u),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+emin AS (SELECT least(a.d, b.d) AS d
+         FROM u JOIN deg a ON u.src = a.id JOIN deg b ON u.dst = b.id),
+nh AS (SELECT d, count(*) AS c FROM deg GROUP BY d),
+eh AS (SELECT d, count(*) AS c FROM emin GROUP BY d),
+ks AS (SELECT unnest(generate_series(0, (SELECT max(d) FROM deg) - 1)) AS k),
+grid AS (
+  SELECT ks.k,
+         (SELECT count(*) FROM deg)
+         - sum(coalesce(nh.c, 0)) OVER (ORDER BY ks.k) AS nk,
+         (SELECT count(*) FROM u)
+         - sum(coalesce(eh.c, 0)) OVER (ORDER BY ks.k) AS ek
+  FROM ks LEFT JOIN nh ON nh.d = ks.k LEFT JOIN eh ON eh.d = ks.k)
+SELECT k::BIGINT AS k, round(2.0 * ek / (nk * (nk - 1)), 6) AS phi
+FROM grid WHERE nk >= 2
+"""
+
+
+def q_square_clustering(spark, sf_dir):
+    """C4 square-clustering coefficient on the sparser KC-fold graph
+    (``triangles.py:square_clustering``; reference ``cluster.py:469``)."""
+    from networkx_spark.algorithms.triangles import square_clustering
+    li = load(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_orderkey") % KC_MOD).alias("src"),
+                   (F.col("l_partkey") % KC_MOD).alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+    g = Graph.from_edges(e, directed=False)
+    return (square_clustering(g)
+            .select("id", F.round("square_clustering", 6)
+                    .alias("square_clustering")))
+
+
+SQL_SQUARE_CLUSTERING = f"""
+WITH e0 AS MATERIALIZED ({KC_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+deg AS MATERIALIZED (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+w AS MATERIALIZED (SELECT a.src AS v, a.dst AS u1, b.dst AS w1
+     FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst),
+c AS (SELECT u1, w1, count(*) AS c FROM w GROUP BY u1, w1),
+per AS (SELECT w.v, c.c - 1 AS q,
+               c.c + coalesce(th.th, 0) AS degm, du.d AS ku, dw.d AS kw
+        FROM w JOIN c USING (u1, w1)
+        LEFT JOIN (SELECT src AS u1, dst AS w1, 1 AS th FROM e0) th
+               USING (u1, w1)
+        JOIN deg du ON w.u1 = du.id JOIN deg dw ON w.w1 = dw.id),
+agg AS (SELECT v AS id, sum(q) AS sq,
+               sum(ku - degm + kw - degm + q) AS pot FROM per GROUP BY v),
+v AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0)
+SELECT v.id, round(CASE WHEN coalesce(agg.pot, 0) > 0
+                   THEN agg.sq::DOUBLE / agg.pot ELSE 0.0 END, 6)
+       AS square_clustering
+FROM v LEFT JOIN agg ON v.id = agg.id
+"""
+
+
+def q_eccentricity(spark, sf_dir):
+    """Eccentricity of every vertex of Zachary's karate club via ONE
+    batched all-sources BFS (``distance_measures.py:eccentricity``;
+    reference ``distance_measures.py:241``)."""
+    from networkx_spark.algorithms.distance_measures import eccentricity
+    from networkx_spark.generators import karate_club_graph
+    return eccentricity(karate_club_graph(spark))
+
+
+def _ecc_sql() -> str:
+    """Independent oracle: recursive-CTE BFS over the karate edge list
+    (public-domain Zachary data, also embedded by the reference in
+    ``generators/social.py:15``)."""
+    from networkx_spark.generators import KARATE_EDGES
+    vals = ", ".join(f"({u}, {v})" for u, v in KARATE_EDGES)
+    return f"""
+WITH RECURSIVE e(src, dst) AS (VALUES {vals}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+v AS (SELECT src AS id FROM sym GROUP BY src),
+walk(s, id, d) AS (
+    SELECT id, id, 0 FROM v
+    UNION
+    SELECT walk.s, sym.dst, walk.d + 1 FROM walk JOIN sym ON sym.src = walk.id
+    WHERE walk.d < 6
+),
+dist AS (SELECT s, id, min(d) AS d FROM walk GROUP BY s, id)
+SELECT s::BIGINT AS id, max(d)::BIGINT AS eccentricity FROM dist GROUP BY s
+"""
+
+
+SQL_ECCENTRICITY = _ecc_sql()
+
+
+def q_boundary_edges(spark, sf_dir):
+    """Directed edge boundary from S = {{id < 300}} to T = {{300 ≤ id <
+    600}} on the derived graph (``boundary.py:edge_boundary``; reference
+    ``algorithms/boundary.py:19``)."""
+    from networkx_spark.algorithms.boundary import edge_boundary
+    g = derived_graph(spark, sf_dir)
+    s = g.vertices().filter(F.col("id") < 300)
+    t = g.vertices().filter((F.col("id") >= 300) & (F.col("id") < 600))
+    return edge_boundary(g, s, t)
+
+
+SQL_BOUNDARY_EDGES = f"""
+SELECT src, dst FROM ({EDGES_SQL})
+WHERE src < 300 AND dst >= 300 AND dst < 600
+"""
+
+
+QUERIES.update({
+    "avg_nbr_degree": (q_avg_nbr_degree, SQL_AVG_NBR_DEGREE),
+    "degree_connectivity": (q_degree_connectivity, SQL_DEGREE_CONNECTIVITY),
+    "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
+    "rich_club": (q_rich_club, SQL_RICH_CLUB),
+    "square_clustering": (q_square_clustering, SQL_SQUARE_CLUSTERING),
+    "eccentricity_karate": (q_eccentricity, SQL_ECCENTRICITY),
+    "boundary_edges": (q_boundary_edges, SQL_BOUNDARY_EDGES),
+})
