@@ -1842,3 +1842,114 @@ QUERIES.update({
     "eccentricity_karate": (q_eccentricity, SQL_ECCENTRICITY),
     "boundary_edges": (q_boundary_edges, SQL_BOUNDARY_EDGES),
 })
+
+
+# ----------------------------------- round 4d: triadic census / IVF ANN
+TRIAD_MOD = 211    # small fold: the brute-force oracle enumerates C(n,3)
+
+
+def q_triadic_census(spark, sf_dir):
+    """Batagelj–Mrvar triadic census of a small directed fold of lineitem
+    (``triads.py:triadic_census``; reference ``algorithms/triads.py:133``).
+    The oracle is a fully independent brute force: every vertex triple,
+    6-bit arc code via EXISTS, code→class VALUES map."""
+    from networkx_spark.algorithms.triads import triadic_census
+    li = load(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_orderkey") % TRIAD_MOD).alias("src"),
+                   (F.col("l_partkey") % TRIAD_MOD).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    return triadic_census(Graph.from_edges(e))
+
+
+def _triadic_sql() -> str:
+    from networkx_spark.algorithms.triads import TRICODE_TO_NAME
+    code_vals = ", ".join(f"({c}, '{TRICODE_TO_NAME[c]}')" for c in range(64))
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {TRIAD_MOD} AS src, l_partkey % {TRIAD_MOD} AS dst
+  FROM lineitem WHERE l_orderkey % {TRIAD_MOD} <> l_partkey % {TRIAD_MOD}),
+v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+names(code, triad_type) AS (VALUES {code_vals}),
+trip AS (SELECT a.id AS t1, b.id AS t2, c.id AS t3
+         FROM v a JOIN v b ON a.id < b.id JOIN v c ON b.id < c.id),
+coded AS (
+  SELECT CASE WHEN EXISTS (SELECT 1 FROM e WHERE src = t1 AND dst = t2) THEN 1 ELSE 0 END
+       + CASE WHEN EXISTS (SELECT 1 FROM e WHERE src = t2 AND dst = t1) THEN 2 ELSE 0 END
+       + CASE WHEN EXISTS (SELECT 1 FROM e WHERE src = t1 AND dst = t3) THEN 4 ELSE 0 END
+       + CASE WHEN EXISTS (SELECT 1 FROM e WHERE src = t3 AND dst = t1) THEN 8 ELSE 0 END
+       + CASE WHEN EXISTS (SELECT 1 FROM e WHERE src = t2 AND dst = t3) THEN 16 ELSE 0 END
+       + CASE WHEN EXISTS (SELECT 1 FROM e WHERE src = t3 AND dst = t2) THEN 32 ELSE 0 END
+       AS code
+  FROM trip)
+SELECT n.triad_type, coalesce(cnt.c, 0)::BIGINT AS count
+FROM (SELECT DISTINCT triad_type FROM names) n
+LEFT JOIN (SELECT names.triad_type, count(*) AS c
+           FROM coded JOIN names USING (code) GROUP BY names.triad_type) cnt
+USING (triad_type)
+"""
+
+
+SQL_TRIADIC_CENSUS = _triadic_sql()
+
+IVF_C = 16         # explicit centroid set (vec_id < 16): SQL-expressible,
+IVF_PROBE = 4      # deterministic; the seeded/Lloyd path is pytest-covered
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate nearest neighbours: assign to 16 coarse
+    centroids, probe the query's 4 nearest lists, exact cosine within
+    (``pipeline/similarity.py:ivf_topk``)."""
+    from networkx_spark.pipeline.similarity import ivf_topk
+    emb = load(spark, sf_dir, "embeddings")
+    cents = (emb.filter(f"vec_id < {IVF_C}")
+             .select(F.col("vec_id").alias("cid"),
+                     F.col("embedding").cast("array<double>").alias("cv")))
+    return ivf_topk(emb, emb.filter("vec_id < 5"), k=5,
+                    centroids=cents, n_probe=IVF_PROBE)
+
+
+SQL_IVF_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+      WHERE vec_id < {IVF_C}),
+q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+      WHERE vec_id < 5),
+asn AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             list_sum(list_transform(list_zip(e.v, c.cv), x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+             c.cid ASC) AS r
+    FROM e, c) WHERE r = 1),
+probes AS (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id ORDER BY
+             list_sum(list_transform(list_zip(q.qv, c.cv), x -> x[1] * x[2]))
+             / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
+                * sqrt(list_sum(list_transform(c.cv, x -> x * x)))) DESC,
+             c.cid ASC) AS r
+    FROM q, c) WHERE r <= {IVF_PROBE}),
+pairs AS (
+  SELECT p.query_id, e.vec_id,
+         list_sum(list_transform(list_zip(e.v, q.qv), x -> x[1] * x[2]))
+         / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+            * sqrt(list_sum(list_transform(q.qv, x -> x * x)))) AS cos
+  FROM e JOIN asn USING (vec_id)
+  JOIN probes p ON p.cid = asn.cid
+  JOIN q ON q.query_id = p.query_id
+  WHERE e.vec_id <> p.query_id),
+rk AS (SELECT query_id, vec_id, cos,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, vec_id ASC) AS rk
+       FROM pairs)
+SELECT query_id, vec_id, round(cos, 6) AS cosine, rk FROM rk WHERE rk <= 5
+"""
+
+
+QUERIES.update({
+    "triadic_census": (q_triadic_census, SQL_TRIADIC_CENSUS),
+    "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+})

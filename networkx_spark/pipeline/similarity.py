@@ -156,3 +156,94 @@ def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
                      (_dot(F.col("va"), F.col("vb"))
                       / (_norm(F.col("va")) * _norm(F.col("vb")))).alias("cosine")))
     return pairs.filter(F.col("cosine") >= threshold)
+
+
+# ----------------------------------------------------------------- IVF tier
+def ivf_centroids(emb: DataFrame, n_centroids: int = 16,
+                  lloyd_iters: int = 0, seed: int = HYPERPLANE_SEED,
+                  id_col: str = "vec_id", vec_col: str = "embedding"
+                  ) -> DataFrame:
+    """(cid, cv) — IVF coarse centroids.
+
+    Initial centroids are a seeded deterministic sample (the
+    ``n_centroids`` vectors with the smallest ``xxhash64(id, seed)`` —
+    TakeOrderedAndProject, no global shuffle), optionally refined by
+    ``lloyd_iters`` k-means steps (assign + per-cluster mean; each step
+    is one broadcast join + one groupBy, fully deterministic).  Empty
+    clusters keep their previous centroid."""
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    cents = (e.orderBy(F.xxhash64(F.col("vec_id"), F.lit(seed)))
+             .limit(n_centroids)
+             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    for _ in range(lloyd_iters):
+        asn = ivf_assign(e.withColumnRenamed("v", vec_col), cents,
+                         id_col="vec_id", vec_col=vec_col)
+        # element-wise cluster mean via posexplode + positional re-assembly
+        means = (e.join(asn, "vec_id")
+                 .select("cid", F.posexplode("v").alias("pos", "x"))
+                 .groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+                 .groupBy("cid")
+                 .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+                 .select("cid", F.transform("pm", lambda s: s["m"]).alias("cv")))
+        cents = (cents.select("cid").join(means, "cid", "left")
+                 .join(cents.withColumnRenamed("cv", "_old"), "cid")
+                 .select("cid", F.coalesce("cv", "_old").alias("cv")))
+    return cents
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """(vec_id, cid) — nearest centroid by cosine, deterministic
+    (ties → smallest cid).  One broadcast cross join + one max_by
+    aggregation; cost C dot products per vector, all JVM-side."""
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).cast("array<double>").alias("v"))
+    c = centroids.select("cid", F.col("cv").cast("array<double>").alias("cv"))
+    sims = (e.crossJoin(F.broadcast(c))
+            .select("vec_id", "cid",
+                    (_dot(F.col("v"), F.col("cv"))
+                     / (_norm(F.col("v")) * _norm(F.col("cv")))).alias("sim")))
+    return (sims.groupBy("vec_id")
+            .agg(F.max_by("cid", F.struct(F.col("sim"),
+                                          -F.col("cid"))).alias("cid")))
+
+
+def ivf_topk(emb: DataFrame, queries: DataFrame, k: int = 5,
+             centroids: DataFrame | None = None, n_centroids: int = 16,
+             n_probe: int = 4, lloyd_iters: int = 0,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate top-k: assign the corpus to IVF buckets once, probe
+    each query's ``n_probe`` nearest centroids, exact cosine only within
+    the probed buckets.  Candidate cost O(N·Q·n_probe/C) vs the brute
+    tier's O(N·Q); the inverted lists are the industry-standard IVF-flat
+    layout (one hash shuffle on cid)."""
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_centroids, lloyd_iters,
+                                  id_col=id_col, vec_col=vec_col)
+    centroids = centroids.cache()
+    asn = ivf_assign(emb, centroids, id_col, vec_col)
+    e = (emb.select(F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).cast("array<double>").alias("v"))
+         .join(asn, "vec_id"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    c = centroids.select("cid", F.col("cv").cast("array<double>").alias("cv"))
+    qprobe = (q.crossJoin(F.broadcast(c))
+              .select("query_id", "cid",
+                      (_dot(F.col("qv"), F.col("cv"))
+                       / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim")))
+    wq = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cid"))
+    probes = (qprobe.withColumn("_r", F.row_number().over(wq))
+              .filter(F.col("_r") <= n_probe).select("query_id", "cid"))
+    cand = e.join(F.broadcast(probes), "cid")
+    pairs = (cand.join(F.broadcast(q), "query_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id",
+                     (_dot(F.col("v"), F.col("qv"))
+                      / (_norm(F.col("v")) * _norm(F.col("qv")))).alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= k)
+            .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"), "rk"))
