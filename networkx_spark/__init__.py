@@ -46,8 +46,21 @@ from networkx_spark.attributes import (
 from networkx_spark.readwrite import (
     read_adjlist, read_edgelist, read_gml, read_graphml,
     write_adjlist, write_edgelist, write_gml, write_graphml)
+from networkx_spark.algorithms.neighbor_degree import (
+    average_degree_connectivity, average_neighbor_degree)
+from networkx_spark.algorithms.centrality import (
+    closeness_centrality, degree_centrality, harmonic_centrality,
+    in_degree_centrality, out_degree_centrality)
+from networkx_spark.algorithms.richclub import rich_club_coefficient
+from networkx_spark.algorithms.boundary import edge_boundary, node_boundary
+from networkx_spark.algorithms.kcore import (k_corona, k_crust, k_shell,
+                                             onion_layers)
+from networkx_spark.algorithms.triangles import square_clustering
+from networkx_spark.algorithms.distance_measures import (
+    center, diameter, eccentricity, periphery, radius)
+from networkx_spark.algorithms.triads import triadic_census
 
-__version__ = "0.3.0"
+__version__ = "0.4.0"
 
 __all__ = [
     "Graph",
@@ -100,5 +113,26 @@ __all__ = [
     "write_graphml",
     "read_gml",
     "write_gml",
+    "average_neighbor_degree",
+    "average_degree_connectivity",
+    "degree_centrality",
+    "in_degree_centrality",
+    "out_degree_centrality",
+    "closeness_centrality",
+    "harmonic_centrality",
+    "rich_club_coefficient",
+    "edge_boundary",
+    "node_boundary",
+    "k_shell",
+    "k_crust",
+    "k_corona",
+    "onion_layers",
+    "square_clustering",
+    "eccentricity",
+    "diameter",
+    "radius",
+    "center",
+    "periphery",
+    "triadic_census",
     "__version__",
 ]
