@@ -59,6 +59,17 @@ from networkx_spark.algorithms.triangles import square_clustering
 from networkx_spark.algorithms.distance_measures import (
     center, diameter, eccentricity, periphery, radius)
 from networkx_spark.algorithms.triads import triadic_census
+from networkx_spark.algorithms.distance_measures import (
+    average_shortest_path_length, global_efficiency, wiener_index)
+from networkx_spark.algorithms.bipartite import (
+    NotBipartite, bipartite_color, bipartite_sets, is_bipartite)
+from networkx_spark.algorithms.mis import maximal_independent_set
+from networkx_spark.algorithms.dag import (
+    transitive_closure, transitive_reduction)
+from networkx_spark.algorithms.scc import flow_hierarchy
+from networkx_spark.algorithms.structuralholes import (
+    constraint, effective_size)
+from networkx_spark.algorithms.voterank import voterank
 
 __version__ = "0.4.0"
 
@@ -134,5 +145,19 @@ __all__ = [
     "center",
     "periphery",
     "triadic_census",
+    "wiener_index",
+    "average_shortest_path_length",
+    "global_efficiency",
+    "is_bipartite",
+    "bipartite_color",
+    "bipartite_sets",
+    "NotBipartite",
+    "maximal_independent_set",
+    "transitive_closure",
+    "transitive_reduction",
+    "flow_hierarchy",
+    "effective_size",
+    "constraint",
+    "voterank",
     "__version__",
 ]

@@ -1,0 +1,115 @@
+"""Bipartite detection and two-coloring.
+
+Reference ``networkx/algorithms/bipartite/basic.py:21`` (``color``): BFS
+two-coloring, root colored 1, alternating; a same-color edge raises
+"Graph is not bipartite."; directed graphs traverse predecessors AND
+successors (``basic.py:56-60``), i.e. the symmetrized adjacency; isolates
+are colored 0 (``basic.py:81``).  ``is_bipartite`` (``basic.py:87``)
+wraps it in a try/except; ``sets`` (``basic.py:115``) additionally
+requires the graph to be connected, else ``AmbiguousSolution``.
+
+Spark shape: hash-min connected components pick one deterministic root
+per component (the minimum vertex id — the reference's root is its
+first-seen node, an iteration-order artifact; any root yields the same
+color *partition* on a bipartite component), then ONE batched BFS from
+all roots simultaneously assigns ``1 - (dist % 2)``.  State is O(V)
+(one row per vertex), supersteps = max component diameter.  The conflict
+check is a single join of the symmetrized edge table against the color
+table — no driver-side traversal anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+from networkx_spark.graph import Graph, SRC, DST, ID
+from networkx_spark.superstep import SuperstepRunner, fixed_plan
+from networkx_spark.algorithms.components import _hash_min
+
+
+class NotBipartite(ValueError):
+    """Reference ``NetworkXError("Graph is not bipartite.")``."""
+
+
+def _parity_colors(g: Graph, max_iter: int = 10_000) -> DataFrame:
+    """(id, color) for every non-isolated vertex: BFS-tree parity from the
+    min-id root of each component, root color 1 (``basic.py:69``).  Does
+    NOT validate bipartiteness — callers join the edge table for that."""
+    spark = g.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = g.symmetrized().filter(F.col(SRC) != F.col(DST))
+    adj = (sym.select(F.col(SRC).alias(ID), F.col(DST).alias("nbr"))
+           .distinct().repartition(n_part, ID).cache())
+    comp = _hash_min(g.vertices(), g.edges, max_iter, None, 1, False,
+                     None, 16)
+    roots = (comp.filter(F.col(ID) == F.col("component")).select(ID)
+             .join(adj.select(ID).distinct(), ID, "semi"))
+    runner = SuperstepRunner(None, name="bipartite", keep_scratch=2)
+    try:
+      with fixed_plan(spark):
+        state = runner.cut(roots.select(ID, F.lit(1).alias("color")))
+        frontier = state
+        parity = 1
+        for _ in range(max_iter):
+            parity = 1 - parity
+            nxt = (frontier.join(adj, ID)
+                   .select(F.col("nbr").alias(ID)).distinct()
+                   .join(state.select(ID), ID, "anti")
+                   .select(ID, F.lit(parity).alias("color")))
+            obs = Observation()
+            state = runner.cut(
+                state.unionByName(nxt)
+                .observe(obs, F.sum(F.when(F.col("color") == parity, 1)
+                                    .otherwise(0)).alias("n")))
+            if int(obs.get["n"] or 0) == 0:
+                break
+            frontier = state.filter(F.col("color") == parity)
+        return state
+    finally:
+        adj.unpersist()
+        runner.close()
+
+
+def bipartite_color(g: Graph, max_iter: int = 10_000) -> DataFrame:
+    """(id, color) two-coloring of every vertex, isolates colored 0
+    (``basic.py:21-82``).  Raises :class:`NotBipartite` when any edge
+    joins two same-colored vertices."""
+    colors = _parity_colors(g, max_iter)
+    sym = g.symmetrized().filter(F.col(SRC) != F.col(DST))
+    conflicts = (sym.join(colors.withColumnRenamed(ID, SRC)
+                          .withColumnRenamed("color", "_cs"), SRC)
+                 .join(colors.withColumnRenamed(ID, DST)
+                       .withColumnRenamed("color", "_cd"), DST)
+                 .filter(F.col("_cs") == F.col("_cd")))
+    # self-loops are same-color by definition — the reference raises on
+    # them too (v is its own neighbor with color[v] == color[v])
+    loops = g.edges.filter(F.col(SRC) == F.col(DST))
+    if conflicts.limit(1).count() or loops.limit(1).count():
+        raise NotBipartite("Graph is not bipartite. (reference NetworkXError)")
+    return (g.vertices().join(colors, ID, "left")
+            .select(ID, F.coalesce("color", F.lit(0)).alias("color")))
+
+
+def is_bipartite(g: Graph) -> bool:
+    """Reference ``basic.py:87-113``."""
+    try:
+        bipartite_color(g)
+        return True
+    except NotBipartite:
+        return False
+
+
+def bipartite_sets(g: Graph, max_iter: int = 10_000) -> DataFrame:
+    """(id, color) restricted to a CONNECTED bipartite graph — the
+    reference's ``sets`` (``basic.py:115-178``) raises
+    ``AmbiguousSolution`` on disconnected input because the bipartition
+    is not unique across components."""
+    colors = bipartite_color(g, max_iter)
+    n_comp = (_hash_min(g.vertices(), g.edges, max_iter, None, 1, False,
+                        None, 16)
+              .select("component").distinct().count())
+    if n_comp > 1:
+        raise ValueError("Disconnected graph: ambiguous solution for "
+                         "bipartite sets. (reference AmbiguousSolution)")
+    return colors

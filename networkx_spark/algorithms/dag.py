@@ -104,3 +104,101 @@ def ancestors(g: Graph, source) -> DataFrame:
     reachability on the reversed graph."""
     from networkx_spark.algorithms.bfs import descendants
     return descendants(g.reverse(), source)
+
+
+# --------------------------------------------------- reachability algebra
+def transitive_closure(g: Graph, reflexive=False,
+                       max_rounds: int = 64) -> DataFrame:
+    """(src, dst) edge rows of the transitive closure (reference
+    ``dag.py:669``): edge (v, w) ⇔ a nontrivial path v→w exists, plus the
+    original edges.  ``reflexive`` follows the reference's three-valued
+    contract (``dag.py:744-755``): False (default) keeps the self-loops
+    that nontrivial cycles create, True adds (v, v) for every vertex,
+    None strips created self-loops; original self-loop edges survive all
+    three (the reference starts from ``G.copy()``).
+
+    Directed graphs run **path doubling** — R ← R ∪ (R ⋈ R), log₂(longest
+    shortest path) rounds, each one self-join + distinct; the reference
+    pays a per-node BFS instead.  Undirected graphs shortcut through
+    hash-min components (reachability ⇔ same component).  The OUTPUT is
+    inherently O(Σ reachable pairs) — same as the reference's; run it on
+    graphs whose closure fits, e.g. condensed web graphs.
+    """
+    if reflexive not in (None, True, False):
+        raise ValueError("Incorrect value for the parameter `reflexive` "
+                         "(reference NetworkXError)")
+    spark = g.edges.sparkSession
+    verts = g.vertices()
+    loops = g.edges.filter(F.col(SRC) == F.col(DST)).select(SRC, DST)
+    if not g.directed:
+        from networkx_spark.algorithms.components import connected_components
+        comp = connected_components(g)
+        pairs = (comp.join(comp.withColumnRenamed(ID, "_v"), "component")
+                 .filter(F.col(ID) < F.col("_v"))
+                 .select(F.col(ID).alias(SRC), F.col("_v").alias(DST)))
+        out = pairs.unionByName(loops).distinct()
+        if reflexive is True:
+            out = out.unionByName(
+                verts.select(F.col(ID).alias(SRC), F.col(ID).alias(DST))
+            ).distinct()
+        return out
+
+    runner = SuperstepRunner(None, name="closure", keep_scratch=4)
+    try:
+      with fixed_plan(spark):
+        r = runner.cut(g.edges.select(SRC, DST).distinct())
+        n = r.count()
+        for _ in range(max_rounds):
+            hop = (r.join(r.select(F.col(SRC).alias("_m"),
+                                   F.col(DST).alias("_d")),
+                          F.col(DST) == F.col("_m"))
+                   .select(SRC, F.col("_d").alias(DST)))
+            obs = Observation()
+            r = runner.cut(r.unionByName(hop).distinct()
+                           .observe(obs, F.count(F.lit(1)).alias("n")))
+            n_new = int(obs.get["n"] or 0)
+            if n_new == n:
+                break
+            n = n_new
+        else:
+            raise RuntimeError(f"closure did not converge in {max_rounds} "
+                               "doubling rounds")
+        out = r
+        if reflexive is True:
+            out = out.unionByName(
+                verts.select(F.col(ID).alias(SRC), F.col(ID).alias(DST))
+            ).distinct()
+        elif reflexive is None:
+            out = (out.filter(F.col(SRC) != F.col(DST))
+                   .unionByName(loops).distinct())
+        # one final cut: the returned DataFrame is backed by the newest
+        # scratch snapshot, which survives rotation and close()
+        return runner.cut(out)
+    finally:
+        runner.close()
+
+
+def transitive_reduction(g: Graph) -> DataFrame:
+    """(src, dst) rows of the transitive reduction of a DAG (reference
+    ``dag.py:819``): keep edge (u, v) iff no path u→v longer than 1
+    exists.  Raises on non-DAG input like the reference.
+
+    One closure (path doubling) + one join: (u, v) is redundant iff some
+    out-edge (u, w), w ≠ v, reaches v in the closure.
+    """
+    if not g.directed:
+        raise ValueError("Directed acyclic graph required for "
+                         "transitive_reduction (reference NetworkXError)")
+    clo = transitive_closure(g, reflexive=None)
+    if clo.filter(F.col(SRC) == F.col(DST)).limit(1).count():
+        raise HasACycle("Directed acyclic graph required for "
+                        "transitive_reduction (reference NetworkXError)")
+    e = g.edges.select(SRC, DST).distinct()
+    # rows (u, w) ⋈ closure (w, v) → candidate redundant edge (u, v)
+    ew = e.select(SRC, F.col(DST).alias("_w"))
+    cwv = clo.select(F.col(SRC).alias("_w"), F.col(DST).alias("_v"))
+    redundant = (ew.join(cwv, "_w")
+                 .filter(F.col("_w") != F.col("_v"))
+                 .select(SRC, F.col("_v").alias(DST))
+                 .distinct())
+    return e.join(redundant, [SRC, DST], "anti")

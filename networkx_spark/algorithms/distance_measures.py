@@ -80,3 +80,62 @@ def periphery(g: Graph) -> DataFrame:
     ecc = eccentricity(g)
     d = ecc.agg(F.max("eccentricity")).collect()[0][0]
     return ecc.filter(F.col("eccentricity") == d).select(ID)
+
+
+# ------------------------------------------- path-sum aggregate measures
+def _pair_distances(g: Graph, max_depth: int) -> DataFrame:
+    """Ordered-pair distance table (s, id, dist) with dist ≥ 1 — one
+    batched all-source BFS, shared by every Σ-over-pairs measure below."""
+    return _incoming_levels(g, None, max_depth).filter(F.col("dist") > 0)
+
+
+def wiener_index(g: Graph, max_depth: int = 10_000) -> float:
+    """Σ over unordered pairs of d(u, v)
+    (reference ``networkx/algorithms/wiener.py:26`` ``wiener_index``).
+    Disconnected / non-strongly-connected graphs return ``inf`` like the
+    reference (``wiener.py:80-84``).  Directed graphs sum over ordered
+    pairs (the reference sums ``shortest_path_length`` over all sources,
+    which double-counts undirected pairs and then halves — identical)."""
+    n = g.number_of_vertices()
+    dists = _pair_distances(g, max_depth)
+    row = dists.agg(F.sum("dist").alias("tot"),
+                    F.count("*").alias("pairs")).collect()[0]
+    expected = n * (n - 1)
+    if (row["pairs"] or 0) < expected:
+        return float("inf")
+    tot = float(row["tot"] or 0)
+    return tot if g.directed else tot / 2.0
+
+
+def average_shortest_path_length(g: Graph, max_depth: int = 10_000) -> float:
+    """Σ d(u,v) / (n(n−1)) over ordered pairs (reference
+    ``shortest_paths/generic.py:356`` ``average_shortest_path_length``).
+    Raises on <2 vertices and on disconnected input like the reference
+    (``generic.py:427-435``)."""
+    n = g.number_of_vertices()
+    if n < 2:
+        raise ValueError("Graph has fewer than two nodes "
+                         "(reference NetworkXPointlessConcept)")
+    dists = _pair_distances(g, max_depth)
+    row = dists.agg(F.sum("dist").alias("tot"),
+                    F.count("*").alias("pairs")).collect()[0]
+    if (row["pairs"] or 0) < n * (n - 1):
+        kind = "strongly connected" if g.directed else "connected"
+        raise ValueError(f"Graph is not {kind} (reference NetworkXError)")
+    return float(row["tot"]) / float(n * (n - 1))
+
+
+def global_efficiency(g: Graph, max_depth: int = 10_000) -> float:
+    """Mean over ordered vertex pairs of 1/d(u,v), unreachable pairs
+    contributing 0 (reference ``algorithms/efficiency_measures.py:60``
+    ``global_efficiency``; undirected only there — same guard here)."""
+    if g.directed:
+        raise ValueError("global_efficiency not defined for directed "
+                         "graphs (reference raises NetworkXNotImplemented)")
+    n = g.number_of_vertices()
+    denom = n * (n - 1)
+    if denom == 0:
+        return 0.0
+    row = (_pair_distances(g, max_depth)
+           .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("inv")).collect()[0])
+    return float(row["inv"] or 0.0) / float(denom)

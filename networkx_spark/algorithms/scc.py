@@ -146,3 +146,32 @@ def condensation(g: Graph) -> tuple[DataFrame, Graph]:
     return comp, Graph.from_edges(e, directed=True,
                                   vertices=comp.select(F.col("component").alias(ID))
                                   .distinct())
+
+
+def flow_hierarchy(g: Graph, weighted: bool = False) -> float:
+    """Fraction of edges not participating in any cycle (reference
+    ``networkx/algorithms/hierarchy.py:11`` ``flow_hierarchy``): an edge
+    lies on a cycle iff both endpoints share an SCC, so the measure is
+    one SCC run plus a single double-join aggregate.  ``weighted``
+    weighs each edge by its ``weight`` column (the reference's
+    ``weight=`` attribute lookup); directed only, multigraph parallel
+    edges each count, like the reference."""
+    if not g.directed:
+        raise ValueError("flow_hierarchy not defined for undirected graphs "
+                         "(reference raises NetworkXError)")
+    comp = strongly_connected_components(g)
+    w = F.col("weight") if weighted else F.lit(1.0)
+    tagged = (g.edges
+              .join(comp.select(F.col(ID).alias(SRC),
+                                F.col("component").alias("_cs")), SRC)
+              .join(comp.select(F.col(ID).alias(DST),
+                                F.col("component").alias("_cd")), DST))
+    row = tagged.agg(
+        F.sum(F.when(F.col("_cs") != F.col("_cd"), w).otherwise(F.lit(0.0)))
+        .alias("acyclic"),
+        F.sum(w).alias("total")).collect()[0]
+    total = float(row["total"] or 0.0)
+    if total == 0.0:
+        raise ValueError("flow_hierarchy undefined for the empty graph "
+                         "(reference ZeroDivisionError)")
+    return float(row["acyclic"] or 0.0) / total

@@ -1953,3 +1953,368 @@ QUERIES.update({
     "triadic_census": (q_triadic_census, SQL_TRIADIC_CENSUS),
     "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
 })
+
+
+# --------------------------- round 4e: MIS / bipartite / reachability /
+# structural holes / voterank / path-sum measures / repetition pipeline
+def _karate_sym_sql() -> str:
+    """Symmetrized karate edge CTE fragment (public-domain Zachary data,
+    also embedded by the reference in ``generators/social.py:15``)."""
+    from networkx_spark.generators import KARATE_EDGES
+    vals = ", ".join(f"({u}, {v})" for u, v in KARATE_EDGES)
+    return (f"ke(src, dst) AS (VALUES {vals}), "
+            "sym AS (SELECT src, dst FROM ke UNION ALL SELECT dst, src FROM ke)")
+
+
+def q_wiener_measures(spark, sf_dir):
+    """Wiener index, average shortest path length and global efficiency of
+    Zachary's karate club, one row (``distance_measures.py:wiener_index``;
+    reference ``wiener.py:26``, ``shortest_paths/generic.py:356``,
+    ``efficiency_measures.py:60``)."""
+    from networkx_spark.algorithms.distance_measures import (
+        average_shortest_path_length, global_efficiency, wiener_index)
+    from networkx_spark.generators import karate_club_graph
+    g = karate_club_graph(spark)
+    return spark.createDataFrame(
+        [(round(wiener_index(g), 6),
+          round(average_shortest_path_length(g), 6),
+          round(global_efficiency(g), 6))],
+        "wiener double, aspl double, efficiency double")
+
+
+SQL_WIENER_MEASURES = f"""
+WITH RECURSIVE {_karate_sym_sql()},
+v AS (SELECT src AS id FROM sym GROUP BY src),
+walk(s, id, d) AS (
+    SELECT id, id, 0 FROM v
+    UNION
+    SELECT walk.s, sym.dst, walk.d + 1 FROM walk JOIN sym ON sym.src = walk.id
+    WHERE walk.d < 6),
+dist AS (SELECT s, id, min(d) AS d FROM walk GROUP BY s, id HAVING min(d) > 0)
+SELECT round(sum(d) / 2.0, 6) AS wiener,
+       round(sum(d)::DOUBLE / count(*), 6) AS aspl,
+       round(sum(1.0 / d) / count(*), 6) AS efficiency
+FROM dist
+"""
+
+BIP_CUST_MOD = 400
+BIP_ORD_MOD = 600
+
+
+def q_bipartite_color(spark, sf_dir):
+    """Two-coloring of the customer–order bipartite graph via hash-min
+    roots + parity BFS (``bipartite.py:bipartite_color``; reference
+    ``bipartite/basic.py:21``).  The oracle is the structural truth:
+    every component's root (its min id) is a customer, so customers are
+    colored 1 and orders 0."""
+    from networkx_spark.algorithms.bipartite import bipartite_color
+    o = load(spark, sf_dir, "orders")
+    e = (o.select((F.col("o_custkey") % BIP_CUST_MOD).alias("src"),
+                  (F.lit(1000) + F.col("o_orderkey") % BIP_ORD_MOD).alias("dst"))
+         .distinct())
+    return bipartite_color(Graph.from_edges(e, directed=False))
+
+
+SQL_BIPARTITE_COLOR = f"""
+WITH e AS (SELECT DISTINCT o_custkey % {BIP_CUST_MOD} AS src,
+                  1000 + o_orderkey % {BIP_ORD_MOD} AS dst FROM orders),
+v AS (SELECT src AS id FROM e UNION SELECT dst FROM e)
+SELECT id, CASE WHEN id < 1000 THEN 1 ELSE 0 END AS color FROM v
+"""
+
+LUBY_SQL_ROUNDS = 24
+
+
+def q_luby_mis(spark, sf_dir):
+    """Luby maximal independent set over the undirected derived graph,
+    seed 0 (``mis.py:maximal_independent_set``; reference
+    ``algorithms/mis.py:20``).  The oracle unrolls the identical rounds
+    in SQL — the affine priorities are shared verbatim."""
+    from networkx_spark.algorithms.mis import maximal_independent_set
+    g = derived_graph(spark, sf_dir, directed=False)
+    return maximal_independent_set(g, seed=0)
+
+
+def _luby_sql() -> str:
+    from networkx_spark.algorithms.mis import MERSENNE31, luby_constants
+    consts = luby_constants(0, LUBY_SQL_ROUNDS)
+    parts = [f"ue AS MATERIALIZED ({UEDGES_SQL})",
+             "sym AS MATERIALIZED (SELECT src, dst FROM ue "
+             "UNION ALL SELECT dst, src FROM ue)",
+             "und0 AS MATERIALIZED (SELECT src AS id FROM sym "
+             "UNION SELECT dst FROM sym)"]
+    wins = []
+    for r, (a, b) in enumerate(consts):
+        def pri(expr, a=a, b=b):
+            return f"(({a} * {expr} + {b}) % {MERSENNE31})"
+        parts.append(
+            f"win{r} AS MATERIALIZED ("
+            f"SELECT u.id FROM und{r} u LEFT JOIN ("
+            f"  SELECT s.src AS id, min({pri('s.dst')}) AS mn"
+            f"  FROM sym s JOIN und{r} d ON d.id = s.dst GROUP BY s.src"
+            f") nb USING (id) "
+            f"WHERE nb.mn IS NULL OR {pri('u.id')} < nb.mn)")
+        parts.append(
+            f"und{r + 1} AS MATERIALIZED ("
+            f"SELECT id FROM und{r} WHERE id NOT IN (SELECT id FROM win{r}) "
+            f"AND id NOT IN (SELECT s.src FROM sym s "
+            f"JOIN win{r} w ON w.id = s.dst))")
+        wins.append(f"SELECT id FROM win{r}")
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT id FROM (" + " UNION ALL ".join(wins) + ")")
+
+
+SQL_LUBY_MIS = _luby_sql()
+
+
+def q_flow_hierarchy(spark, sf_dir):
+    """Fraction of derived-graph edges outside every cycle
+    (``scc.py:flow_hierarchy``; reference ``hierarchy.py:11``) — one SCC
+    run + one aggregate; oracle derives SCCs from the recursive
+    transitive closure."""
+    from networkx_spark.algorithms.scc import flow_hierarchy
+    g = derived_graph(spark, sf_dir)
+    return spark.createDataFrame([(round(flow_hierarchy(g), 6),)],
+                                 "flow_hierarchy double")
+
+
+SQL_FLOW_HIERARCHY = f"""
+WITH RECURSIVE e AS MATERIALIZED ({EDGES_SQL}),
+reach(a, b) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT r.a, e.dst FROM reach r JOIN e ON e.src = r.b),
+cyc AS (SELECT r1.a AS src, r1.b AS dst
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a)
+SELECT round(sum(CASE WHEN cyc.src IS NULL THEN 1.0 ELSE 0.0 END)
+             / count(*), 6) AS flow_hierarchy
+FROM e LEFT JOIN cyc ON cyc.src = e.src AND cyc.dst = e.dst
+"""
+
+TC_MOD = 89        # closure fold: output <= 89^2 rows
+TR_MOD = 150       # reduction fold: src<dst makes it a DAG
+
+
+def q_transitive_closure(spark, sf_dir):
+    """Path-doubling transitive closure of a small directed fold
+    (``dag.py:transitive_closure``; reference ``dag.py:669``,
+    reflexive=False: nontrivial cycles keep their self-loops)."""
+    from networkx_spark.algorithms.dag import transitive_closure
+    li = load(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_orderkey") % TC_MOD).alias("src"),
+                   (F.col("l_partkey") % TC_MOD).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    return transitive_closure(Graph.from_edges(e))
+
+
+SQL_TRANSITIVE_CLOSURE = f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {TC_MOD} AS src, l_partkey % {TC_MOD} AS dst
+  FROM lineitem WHERE l_orderkey % {TC_MOD} <> l_partkey % {TC_MOD}),
+walk(src, dst) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT w.src, e.dst FROM walk w JOIN e ON e.src = w.dst)
+SELECT src, dst FROM walk
+"""
+
+
+def q_transitive_reduction(spark, sf_dir):
+    """Transitive reduction of a DAG fold (edges oriented low→high id;
+    ``dag.py:transitive_reduction``; reference ``dag.py:819``)."""
+    from networkx_spark.algorithms.dag import transitive_reduction
+    li = load(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_orderkey") % TR_MOD).alias("src"),
+                   (F.col("l_partkey") % TR_MOD).alias("dst"))
+         .filter(F.col("src") < F.col("dst")).distinct())
+    return transitive_reduction(Graph.from_edges(e))
+
+
+SQL_TRANSITIVE_REDUCTION = f"""
+WITH RECURSIVE e AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey % {TR_MOD} AS src, l_partkey % {TR_MOD} AS dst
+  FROM lineitem WHERE l_orderkey % {TR_MOD} < l_partkey % {TR_MOD}),
+walk(src, dst) AS (
+    SELECT src, dst FROM e
+    UNION
+    SELECT w.src, e.dst FROM walk w JOIN e ON e.src = w.dst),
+red AS (SELECT DISTINCT e1.src, w.dst
+        FROM e e1 JOIN walk w ON w.src = e1.dst AND w.dst <> e1.dst)
+SELECT e.src, e.dst FROM e
+WHERE NOT EXISTS (SELECT 1 FROM red
+                  WHERE red.src = e.src AND red.dst = e.dst)
+"""
+
+
+def q_effective_size(spark, sf_dir):
+    """Burt effective size on the karate club
+    (``structuralholes.py:effective_size``; reference
+    ``structuralholes.py:53``).  The engine evaluates the general
+    redundancy form; the oracle is the INDEPENDENT Borgatti identity
+    deg − 2·ties/deg (``structuralholes.py:144-151``) — two different
+    formulas agreeing is the strongest check."""
+    from networkx_spark.algorithms.structuralholes import effective_size
+    from networkx_spark.generators import karate_club_graph
+    g = karate_club_graph(spark)
+    return effective_size(g).select(
+        "id", F.round("effective_size", 6).alias("effective_size"))
+
+
+SQL_EFFECTIVE_SIZE = f"""
+WITH {_karate_sym_sql()},
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+tri AS (SELECT n1.src AS id, count(*) AS t
+        FROM sym n1 JOIN sym n2 ON n1.src = n2.src AND n1.dst < n2.dst
+        JOIN sym e3 ON e3.src = n1.dst AND e3.dst = n2.dst
+        GROUP BY n1.src)
+SELECT deg.id, round(deg.d - 2.0 * coalesce(tri.t, 0) / deg.d, 6)
+       AS effective_size
+FROM deg LEFT JOIN tri USING (id)
+"""
+
+
+def q_constraint(spark, sf_dir):
+    """Burt constraint on the karate club
+    (``structuralholes.py:constraint``; reference
+    ``structuralholes.py:166``): C(u) = Σ_v (p_uv + Σ_w p_uw·p_wv)²."""
+    from networkx_spark.algorithms.structuralholes import constraint
+    from networkx_spark.generators import karate_club_graph
+    g = karate_club_graph(spark)
+    return constraint(g).select(
+        "id", F.round("constraint", 6).alias("constraint_score"))
+
+
+SQL_CONSTRAINT = f"""
+WITH {_karate_sym_sql()},
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+p AS (SELECT s.src AS u, s.dst AS v, 1.0 / deg.d AS p
+      FROM sym s JOIN deg ON deg.id = s.src),
+ind AS (SELECT p1.u AS u, p2.v AS v, sum(p1.p * p2.p) AS ind
+        FROM p p1 JOIN p p2 ON p2.u = p1.v GROUP BY p1.u, p2.v),
+l AS (SELECT p.u, power(p.p + coalesce(ind.ind, 0), 2) AS l
+      FROM p LEFT JOIN ind ON ind.u = p.u AND ind.v = p.v)
+SELECT u AS id, round(sum(l), 6) AS constraint_score FROM l GROUP BY u
+"""
+
+VOTE_K = 5
+
+
+def q_voterank(spark, sf_dir):
+    """First five VoteRank spreaders of the karate club
+    (``voterank.py:voterank``; reference
+    ``centrality/voterank_alg.py:9``); oracle unrolls the five election
+    rounds in SQL with the identical min-id tie-break."""
+    from networkx_spark.algorithms.voterank import voterank
+    from networkx_spark.generators import karate_club_graph
+    return voterank(karate_club_graph(spark), VOTE_K)
+
+
+def _voterank_sql() -> str:
+    from networkx_spark.generators import KARATE_EDGES
+    avgd = repr(2 * len(KARATE_EDGES) / 34)
+    parts = [_karate_sym_sql(),
+             "v AS (SELECT src AS id FROM sym GROUP BY src)"]
+    sel = []
+    for r in range(VOTE_K):
+        elected = " UNION ALL ".join(f"SELECT id FROM e{i}" for i in range(r))
+        if r == 0:
+            parts.append("ab0 AS (SELECT id, 1.0 AS a FROM v)")
+        else:
+            parts.append(
+                f"el{r} AS (SELECT id FROM ({elected})),"
+                f"ab{r} AS (SELECT v.id, CASE "
+                f"WHEN v.id IN (SELECT id FROM el{r}) THEN 0.0 "
+                f"ELSE greatest(0.0, 1.0 - (SELECT count(*) FROM sym s "
+                f"JOIN el{r} w ON w.id = s.src WHERE s.dst = v.id) "
+                f"/ {avgd}) END AS a FROM v)")
+        excl = (f"WHERE s.src NOT IN (SELECT id FROM el{r})" if r else "")
+        parts.append(
+            f"sc{r} AS (SELECT s.src AS cand, sum(ab{r}.a) AS score "
+            f"FROM sym s JOIN ab{r} ON ab{r}.id = s.dst {excl} "
+            f"GROUP BY s.src)")
+        parts.append(f"e{r} AS (SELECT cand AS id FROM sc{r} "
+                     f"ORDER BY score DESC, cand ASC LIMIT 1)")
+        sel.append(f"SELECT {r + 1} AS rank, id FROM e{r}")
+    return "WITH " + ",\n".join(parts) + "\n" + " UNION ALL ".join(sel)
+
+
+SQL_VOTERANK = _voterank_sql()
+
+
+def q_line_stats(spark, sf_dir):
+    """Within-document duplicate-line repetition ratio
+    (``pipeline/text.py:line_stats``) — the corpus is single-line word
+    soup, so both engines first fold each text into three lines (two of
+    them identical) with the SAME deterministic expression."""
+    from networkx_spark.pipeline.text import line_stats
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", F.substring("text", 1, 40),
+                    F.substring("text", 1, 40),
+                    F.substring("text", 41, 60)).alias("text"))
+    return line_stats(docs)
+
+
+SQL_LINE_STATS = """
+WITH folded AS (
+  SELECT doc_id, substr(text, 1, 40) || chr(10) || substr(text, 1, 40)
+         || chr(10) || substr(text, 41, 60) AS text FROM documents),
+ls AS (SELECT doc_id,
+        list_filter(list_transform(string_split(text, chr(10)),
+                                   s -> trim(s)), s -> s <> '') AS ls
+       FROM folded)
+SELECT doc_id, len(ls) AS n_lines,
+       len(list_distinct(ls)) AS n_distinct_lines,
+       CASE WHEN len(ls) = 0 THEN 0.0
+            ELSE round(1.0 - len(list_distinct(ls))::DOUBLE / len(ls), 6)
+       END AS repetition_ratio
+FROM ls
+"""
+
+
+def q_duplicate_paragraphs(spark, sf_dir):
+    """Cross-document boilerplate paragraphs
+    (``pipeline/text.py:duplicate_paragraphs``): each doc gets a
+    deterministic shared banner keyed by doc_id % 5 appended as a second
+    paragraph — both engines build the same text, the operator must find
+    exactly the five banners with their document counts."""
+    from networkx_spark.pipeline.text import duplicate_paragraphs
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit("\n\n"),
+                 F.lit("shared cookie banner boilerplate variant "),
+                 (F.col("doc_id") % 5).cast("string")).alias("text"))
+    return duplicate_paragraphs(docs)
+
+
+SQL_DUPLICATE_PARAGRAPHS = r"""
+WITH folded AS (
+  SELECT doc_id, text || chr(10) || chr(10)
+         || 'shared cookie banner boilerplate variant '
+         || (doc_id % 5)::VARCHAR AS text FROM documents),
+ex AS (
+  SELECT doc_id, md5(p) AS paragraph_hash
+  FROM (SELECT doc_id,
+          unnest(list_filter(list_transform(
+            regexp_split_to_array(text, '\n\s*\n'), s -> trim(s)),
+            s -> len(s) >= 20)) AS p
+        FROM folded))
+SELECT paragraph_hash, count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM ex GROUP BY paragraph_hash HAVING count(DISTINCT doc_id) > 1
+"""
+
+
+QUERIES.update({
+    "wiener_measures": (q_wiener_measures, SQL_WIENER_MEASURES),
+    "bipartite_color": (q_bipartite_color, SQL_BIPARTITE_COLOR),
+    "luby_mis": (q_luby_mis, SQL_LUBY_MIS),
+    "flow_hierarchy": (q_flow_hierarchy, SQL_FLOW_HIERARCHY),
+    "transitive_closure": (q_transitive_closure, SQL_TRANSITIVE_CLOSURE),
+    "transitive_reduction": (q_transitive_reduction, SQL_TRANSITIVE_REDUCTION),
+    "effective_size": (q_effective_size, SQL_EFFECTIVE_SIZE),
+    "constraint": (q_constraint, SQL_CONSTRAINT),
+    "voterank": (q_voterank, SQL_VOTERANK),
+    "line_stats": (q_line_stats, SQL_LINE_STATS),
+    "duplicate_paragraphs": (q_duplicate_paragraphs, SQL_DUPLICATE_PARAGRAPHS),
+})

@@ -104,3 +104,44 @@ def fingerprint(docs: DataFrame, id_col: str = "doc_id",
     document identity."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
     return docs.select(F.col(id_col).alias("doc_id"), F.md5(norm).alias("fp"))
+
+
+def line_stats(docs: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, n_distinct_lines, repetition_ratio): within-document
+    repetition — the Gopher-style "fraction of duplicate lines" filter.
+    ``repetition_ratio`` = 1 − distinct/total over non-empty trimmed lines
+    (0.0 for documents with no non-empty line).  One explode + two counts,
+    all JVM-side."""
+    lines = F.filter(F.transform(F.split(F.col(text_col), r"\n"),
+                                 lambda s: F.trim(s)),
+                     lambda s: s != "")
+    base = docs.select(F.col(id_col).alias("doc_id"), lines.alias("ls"))
+    n = F.size(F.col("ls"))
+    nd = F.size(F.array_distinct(F.col("ls")))
+    return base.select(
+        "doc_id", n.alias("n_lines"), nd.alias("n_distinct_lines"),
+        F.when(n == 0, F.lit(0.0))
+         .otherwise(F.round(F.lit(1.0) - nd / n, 6))
+         .alias("repetition_ratio"))
+
+
+def duplicate_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         min_chars: int = 20) -> DataFrame:
+    """(paragraph_hash, n_docs, n_occurrences): corpus-level boilerplate
+    detection — paragraphs (blank-line-separated blocks, trimmed, at least
+    ``min_chars`` chars) that occur in MORE THAN ONE document, keyed by
+    md5.  The backbone of "remove the cookie banner from every page":
+    explode + one hash groupBy, the same shuffle class as exact dedup.
+    """
+    paras = F.filter(F.transform(F.split(F.col(text_col), r"\n\s*\n"),
+                                 lambda s: F.trim(s)),
+                     lambda s: F.length(s) >= min_chars)
+    exploded = (docs.select(F.col(id_col).alias("doc_id"),
+                            F.explode(paras).alias("para"))
+                .select("doc_id", F.md5(F.col("para")).alias("paragraph_hash")))
+    return (exploded.groupBy("paragraph_hash")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"))
+            .filter(F.col("n_docs") > 1))
