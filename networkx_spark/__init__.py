@@ -55,7 +55,7 @@ from networkx_spark.algorithms.richclub import rich_club_coefficient
 from networkx_spark.algorithms.boundary import edge_boundary, node_boundary
 from networkx_spark.algorithms.kcore import (k_corona, k_crust, k_shell,
                                              onion_layers)
-from networkx_spark.algorithms.triangles import square_clustering
+from networkx_spark.algorithms.triangles import square_clustering, generalized_degree
 from networkx_spark.algorithms.distance_measures import (
     center, diameter, eccentricity, periphery, radius)
 from networkx_spark.algorithms.triads import triadic_census
@@ -139,6 +139,7 @@ __all__ = [
     "k_corona",
     "onion_layers",
     "square_clustering",
+    "generalized_degree",
     "eccentricity",
     "diameter",
     "radius",

@@ -300,3 +300,40 @@ def square_clustering(g: Graph, nodes=None) -> DataFrame:
                               F.col("_q") / F.col("_pot"))
                    .otherwise(F.lit(0.0)).alias("square_clustering")))
     return _nbunch(out, nodes)
+
+
+def generalized_degree(g: Graph, nodes=None) -> DataFrame:
+    """(id, tri, edges) — per vertex, how many incident edges lie in
+    exactly ``tri`` triangles: the flat-table form of the reference's
+    per-node ``Counter{triangle_count: edge_count}``
+    (``cluster.py:543-609``, ``_triangles_and_generalized_degree_iter``).
+
+    Reuses the oriented triangle enumeration: each triangle credits one
+    membership to each of its three canonical edges, incident edges with
+    no triangle keep 0 via the left join, and the per-vertex histogram is
+    one groupBy.  Isolated vertices have no incident edges → no rows
+    (the reference returns an empty Counter).  Cost: the triangle join
+    (Σ d_out², d_out ≤ √2m) plus two edge-table shuffles — same scale
+    posture as :func:`triangles`.
+    """
+    if g.directed:
+        raise ValueError("generalized_degree is not implemented for "
+                         "directed graphs (reference raises "
+                         "NetworkXNotImplemented); call g.to_undirected() "
+                         "first")
+    e = (g.edges.filter(F.col(SRC) != F.col(DST))
+         .select(F.least(SRC, DST).alias("u"), F.greatest(SRC, DST).alias("w"))
+         .distinct())
+    tri = triangle_corners(g)
+    tri_edges = (
+        tri.select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("w"))
+        .union(tri.select(F.least("a", "c").alias("u"), F.greatest("a", "c").alias("w")))
+        .union(tri.select(F.least("b", "c").alias("u"), F.greatest("b", "c").alias("w"))))
+    t = tri_edges.groupBy("u", "w").agg(F.count("*").alias("_t"))
+    et = (e.join(t, ["u", "w"], "left")
+          .select("u", "w", F.coalesce("_t", F.lit(0)).alias("_t")))
+    both = (et.select(F.col("u").alias(ID), "_t")
+            .union(et.select(F.col("w").alias(ID), "_t")))
+    out = (both.groupBy(ID, F.col("_t").alias("tri"))
+           .agg(F.count("*").alias("edges")))
+    return _nbunch(out, nodes)

@@ -1783,6 +1783,33 @@ FROM v LEFT JOIN agg ON v.id = agg.id
 """
 
 
+def q_generalized_degree(spark, sf_dir):
+    """Per-vertex histogram of incident-edge triangle memberships on the
+    KC-fold graph (``triangles.py:generalized_degree``; reference
+    ``cluster.py:543``)."""
+    from networkx_spark.algorithms.triangles import generalized_degree
+    li = load(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_orderkey") % KC_MOD).alias("src"),
+                   (F.col("l_partkey") % KC_MOD).alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+    g = Graph.from_edges(e, directed=False)
+    return generalized_degree(g)
+
+
+SQL_GENERALIZED_DEGREE = f"""
+WITH e AS MATERIALIZED ({KC_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT src AS v, dst AS n FROM e
+                     UNION ALL SELECT dst, src FROM e),
+t AS (SELECT e.src, e.dst, count(*) AS t
+      FROM e JOIN sym a ON a.v = e.src JOIN sym b ON b.v = e.dst AND b.n = a.n
+      GROUP BY e.src, e.dst),
+et AS (SELECT e.src, e.dst, coalesce(t.t, 0) AS t
+       FROM e LEFT JOIN t ON t.src = e.src AND t.dst = e.dst),
+s AS (SELECT src AS id, t FROM et UNION ALL SELECT dst, t FROM et)
+SELECT id, t AS tri, count(*) AS edges FROM s GROUP BY id, t
+"""
+
+
 def q_eccentricity(spark, sf_dir):
     """Eccentricity of every vertex of Zachary's karate club via ONE
     batched all-sources BFS (``distance_measures.py:eccentricity``;
@@ -1839,6 +1866,7 @@ QUERIES.update({
     "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
     "rich_club": (q_rich_club, SQL_RICH_CLUB),
     "square_clustering": (q_square_clustering, SQL_SQUARE_CLUSTERING),
+    "generalized_degree": (q_generalized_degree, SQL_GENERALIZED_DEGREE),
     "eccentricity_karate": (q_eccentricity, SQL_ECCENTRICITY),
     "boundary_edges": (q_boundary_edges, SQL_BOUNDARY_EDGES),
 })

@@ -24,6 +24,7 @@ from typing import Iterator
 from urllib.parse import urljoin
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 EDGES_SCHEMA = "src string, dst string"
@@ -92,7 +93,8 @@ def edges_from_pages(pages) -> "pyspark.sql.DataFrame":  # noqa: F821
                         dsts.append(link)
             yield pd.DataFrame({"src": srcs, "dst": dsts})
 
-    return pages.select("url", "html").mapInPandas(batches, schema=EDGES_SCHEMA).distinct()
+    return (pages.select("url", F.col("html").cast("binary").alias("html"))
+            .mapInPandas(batches, schema=EDGES_SCHEMA).distinct())
 
 
 def texts_from_pages(pages) -> "pyspark.sql.DataFrame":  # noqa: F821
@@ -104,5 +106,5 @@ def texts_from_pages(pages) -> "pyspark.sql.DataFrame":  # noqa: F821
             out = [extract_text(bytes(h), u) for u, h in zip(pdf["url"], pdf["html"])]
             yield pd.DataFrame({"url": pdf["url"], "extracted_text": out})
 
-    return pages.select("url", "html").mapInPandas(
-        batches, schema="url string, extracted_text string")
+    return (pages.select("url", F.col("html").cast("binary").alias("html"))
+            .mapInPandas(batches, schema="url string, extracted_text string"))

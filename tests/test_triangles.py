@@ -132,3 +132,41 @@ def test_directed_weighted_clustering_vs_reference(spark):
     got = {int(r.id): r.clustering for r in clustering(g, weight=True).collect()}
     for k, v in want.items():
         assert got[k] == pytest.approx(v, abs=1e-9), k
+
+
+def test_generalized_degree_vs_reference(spark):
+    """Flat (id, tri, edges) rows == the reference's per-node Counter
+    (``cluster.py:543``), random graph + karate."""
+    import networkx as nx
+    import random
+    from networkx_spark.algorithms.triangles import generalized_degree
+
+    def flat(G):
+        want = {}
+        for n, c in nx.generalized_degree(G).items():
+            for t, cnt in c.items():
+                want[(str(n), t)] = cnt
+        return want
+
+    rng = random.Random(7)
+    G = nx.Graph()
+    G.add_nodes_from(range(30))
+    for _ in range(120):
+        u, v = rng.randrange(30), rng.randrange(30)
+        if u != v:
+            G.add_edge(u, v)
+    g = Graph.from_edge_list(spark, list(G.edges()), directed=False,
+                             nodes=list(G.nodes()))
+    got = {(r.id, r.tri): r.edges for r in generalized_degree(g).collect()}
+    assert got == flat(G)
+
+    K = nx.karate_club_graph()
+    gk = Graph.from_edge_list(spark, list(K.edges()), directed=False)
+    gotk = {(r.id, r.tri): r.edges
+            for r in generalized_degree(gk, ["0", "33"]).collect()}
+    wantk = {(k, t): c for (k, t), c in flat(K).items() if k in ("0", "33")}
+    assert gotk == wantk
+
+    d = Graph.from_edge_list(spark, [(0, 1)], directed=True)
+    with pytest.raises(ValueError):
+        generalized_degree(d)
