@@ -48,24 +48,31 @@ def _parity_colors(g: Graph, max_iter: int = 10_000) -> DataFrame:
     runner = SuperstepRunner(None, name="bipartite", keep_scratch=2)
     try:
       with fixed_plan(spark):
-        state = runner.cut(roots.select(ID, F.lit(1).alias("color")))
-        frontier = state
-        parity = 1
-        for _ in range(max_iter):
-            parity = 1 - parity
+        # state carries the BFS level so (a) the frontier is exactly the
+        # newest level (not every vertex of the same parity — older levels
+        # have no unvisited neighbors, but re-expanding them re-joins the
+        # whole visited set each superstep) and (b) termination observes
+        # rows AT the new level only.  Observing "rows with the current
+        # parity color" over the cumulative state never reaches zero once
+        # both parities exist — that bug made this loop run all max_iter
+        # supersteps.
+        state = runner.cut(roots.select(ID, F.lit(1).alias("color"),
+                                        F.lit(0).alias("_lvl")))
+        for lvl in range(1, max_iter):
+            frontier = state.filter(F.col("_lvl") == lvl - 1)
             nxt = (frontier.join(adj, ID)
                    .select(F.col("nbr").alias(ID)).distinct()
                    .join(state.select(ID), ID, "anti")
-                   .select(ID, F.lit(parity).alias("color")))
+                   .select(ID, F.lit(1 - lvl % 2).alias("color"),
+                           F.lit(lvl).alias("_lvl")))
             obs = Observation()
             state = runner.cut(
                 state.unionByName(nxt)
-                .observe(obs, F.sum(F.when(F.col("color") == parity, 1)
+                .observe(obs, F.sum(F.when(F.col("_lvl") == lvl, 1)
                                     .otherwise(0)).alias("n")))
             if int(obs.get["n"] or 0) == 0:
                 break
-            frontier = state.filter(F.col("color") == parity)
-        return state
+        return state.select(ID, "color")
     finally:
         adj.unpersist()
         runner.close()

@@ -88,7 +88,7 @@ def test_bipartite_color_matches_partition(spark):
     sides = frozenset(
         frozenset(n for n, c in got.items() if c == k) for k in (0, 1))
     ref_sides = frozenset(
-        frozenset(n for n, c in ref.items() if c == k) for k in (0, 1))
+        frozenset(str(n) for n, c in ref.items() if c == k) for k in (0, 1))
     assert sides == ref_sides
     assert is_bipartite(g) is True
 
@@ -122,8 +122,8 @@ def test_bipartite_directed_symmetrized(spark):
     g = Graph.from_edge_list(spark, [(0, 5), (5, 1), (1, 6), (6, 0)],
                              directed=True)
     colors = _vals(bipartite_color(g), "id", "color")
-    assert colors[0] == colors[1] and colors[5] == colors[6]
-    assert colors[0] != colors[5]
+    assert colors["0"] == colors["1"] and colors["5"] == colors["6"]
+    assert colors["0"] != colors["5"]
 
 
 # ------------------------------------------------------------ Luby MIS
