@@ -70,6 +70,9 @@ from networkx_spark.algorithms.scc import flow_hierarchy
 from networkx_spark.algorithms.structuralholes import (
     constraint, effective_size)
 from networkx_spark.algorithms.voterank import voterank
+from networkx_spark.algorithms.mst import (
+    maximal_matching, maximum_spanning_edges, maximum_spanning_tree,
+    minimum_spanning_edges, minimum_spanning_tree)
 
 __version__ = "0.4.0"
 
@@ -160,5 +163,10 @@ __all__ = [
     "effective_size",
     "constraint",
     "voterank",
+    "minimum_spanning_edges",
+    "minimum_spanning_tree",
+    "maximum_spanning_edges",
+    "maximum_spanning_tree",
+    "maximal_matching",
     "__version__",
 ]

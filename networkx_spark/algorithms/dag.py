@@ -189,7 +189,10 @@ def transitive_reduction(g: Graph) -> DataFrame:
     if not g.directed:
         raise ValueError("Directed acyclic graph required for "
                          "transitive_reduction (reference NetworkXError)")
-    clo = transitive_closure(g, reflexive=None)
+    # reflexive=False keeps cycle-induced (v, v) pairs (reference
+    # semantics; reflexive=None strips them), so a non-DAG is detectable
+    # here; on a DAG the two forms are identical
+    clo = transitive_closure(g, reflexive=False)
     if clo.filter(F.col(SRC) == F.col(DST)).limit(1).count():
         raise HasACycle("Directed acyclic graph required for "
                         "transitive_reduction (reference NetworkXError)")

@@ -17,8 +17,12 @@ neighborhoods are ``all_neighbors`` = predecessors ∪ successors.
 Spark shape: mw is one union + groupBy; p and m are window-free
 groupBy+join normalizations; the redundancy / indirect-constraint sums
 are wedge joins (ego ⋈ p ⋈ m on the shared middle vertex) — Σ deg²
-work, the same class as square clustering, all JVM-side.  Isolated
-vertices score NaN exactly like the reference (``:146,216``).
+work, the same class as square clustering, all JVM-side.  NaN follows
+the reference's rule exactly (``:146,216``): a vertex with no
+SUCCESSORS (``len(G[v]) == 0``) scores NaN — in a directed graph that
+includes vertices that still have predecessors.  (Corner divergence:
+a vertex whose only edge is a self-loop gets NaN here; the reference
+computes a value from the self-mutual weight.)
 """
 
 from __future__ import annotations
@@ -62,6 +66,16 @@ def _normalized(mw: DataFrame) -> tuple[DataFrame, DataFrame]:
     return p, m
 
 
+def _has_successors(g: Graph) -> DataFrame:
+    """(id, _has) for vertices with at least one successor — the
+    reference's ``len(G[v]) != 0`` NaN guard (``:146,216``); undirected
+    canonical edges count both endpoints."""
+    s = g.edges.select(F.col(SRC).alias(ID))
+    if not g.directed:
+        s = s.union(g.edges.select(F.col(DST).alias(ID)))
+    return s.distinct().withColumn("_has", F.lit(1))
+
+
 def effective_size(g: Graph, weight: Optional[str] = None) -> DataFrame:
     """(id, effective_size) for every vertex (``structuralholes.py:53``).
     NaN for isolated vertices."""
@@ -81,7 +95,9 @@ def effective_size(g: Graph, weight: Optional[str] = None) -> DataFrame:
           .agg(F.sum(F.lit(1.0) - F.coalesce("r", F.lit(0.0)))
                .alias("effective_size")))
     out = (g.vertices().join(es.withColumnRenamed("u", ID), ID, "left")
-           .select(ID, F.coalesce("effective_size", _nan())
+           .join(_has_successors(g), ID, "left")
+           .select(ID, F.when(F.col("_has").isNull(), _nan())
+                   .otherwise(F.coalesce("effective_size", _nan()))
                    .alias("effective_size")))
     mw.unpersist()
     return out
@@ -106,7 +122,10 @@ def constraint(g: Graph, weight: Optional[str] = None) -> DataFrame:
                   .alias("l")))
     con = lc.groupBy("u").agg(F.sum("l").alias("constraint"))
     out = (g.vertices().join(con.withColumnRenamed("u", ID), ID, "left")
-           .select(ID, F.coalesce("constraint", _nan()).alias("constraint")))
+           .join(_has_successors(g), ID, "left")
+           .select(ID, F.when(F.col("_has").isNull(), _nan())
+                   .otherwise(F.coalesce("constraint", _nan()))
+                   .alias("constraint")))
     p.unpersist()
     mw.unpersist()
     return out

@@ -37,12 +37,20 @@ def voterank(g: Graph, number_of_nodes: Optional[int] = None) -> DataFrame:
     """(rank, id) rows of the elected spreaders, rank 1-based in election
     order (``voterank_alg.py:9-121``)."""
     spark = g.edges.sparkSession
+    # id schema follows the graph (string urls or long vids) — nothing here
+    # assumes integral ids
+    id_type = g.edges.schema[SRC].dataType.simpleString()
     n = g.number_of_vertices()
     if n == 0:
-        return spark.createDataFrame([], "rank long, id long")
+        return spark.createDataFrame([], f"rank long, id {id_type}")
     k = n if number_of_nodes is None or number_of_nodes > n else number_of_nodes
     m = g.edges.count()
-    avg_deg = (m if g.directed else 2 * m) / n
+    # exact integer scoring: with <k> = M/n (M = m directed, 2m undirected),
+    # ability after c weakenings is max(0, 1 - c*n/M) = max(0, M - c*n)/M —
+    # so score*M = sum of integer abilities.  Float summation-order jitter
+    # otherwise flips exact-rational score ties between the distributed sum
+    # and the reference's sequential sum (observed on gnm seeds).
+    big_m = m if g.directed else 2 * m
 
     # voting incidence: (voter, candidate) — candidate's score sums the
     # voters' abilities; directed graphs vote along out-edges (nbr → n)
@@ -54,17 +62,18 @@ def voterank(g: Graph, number_of_nodes: Optional[int] = None) -> DataFrame:
     for _ in range(k):
         if elected:
             adj = spark.createDataFrame(
-                [(i, float(c)) for i, c in weaken.items()], "id long, w double")
+                [(i, int(c)) for i, c in weaken.items()],
+                f"id {id_type}, w long")
             ability = (g.vertices()
                        .join(F.broadcast(adj), ID, "left")
-                       .select(ID, F.when(F.col(ID).isin(elected), F.lit(0.0))
+                       .select(ID, F.when(F.col(ID).isin(elected), F.lit(0))
                                .otherwise(F.greatest(
-                                   F.lit(0.0),
-                                   F.lit(1.0) - F.coalesce("w", F.lit(0.0))
-                                   / F.lit(avg_deg)))
+                                   F.lit(0),
+                                   F.lit(big_m) - F.coalesce("w", F.lit(0))
+                                   * F.lit(n)))
                                .alias("ability")))
         else:
-            ability = g.vertices().select(ID, F.lit(1.0).alias("ability"))
+            ability = g.vertices().select(ID, F.lit(big_m).alias("ability"))
         scores = (inc.join(ability.withColumnRenamed(ID, "voter"), "voter")
                   .groupBy("cand").agg(F.sum("ability").alias("score")))
         if elected:
@@ -82,6 +91,4 @@ def voterank(g: Graph, number_of_nodes: Optional[int] = None) -> DataFrame:
             weaken[r[DST]] = weaken.get(r[DST], 0) + 1
     inc.unpersist()
     rows = [(i + 1, v) for i, v in enumerate(elected)]
-    if not rows:
-        return spark.createDataFrame([], "rank long, id long")
-    return spark.createDataFrame(rows, "rank long, id long")
+    return spark.createDataFrame(rows or [], f"rank long, id {id_type}")

@@ -2346,3 +2346,51 @@ QUERIES.update({
     "line_stats": (q_line_stats, SQL_LINE_STATS),
     "duplicate_paragraphs": (q_duplicate_paragraphs, SQL_DUPLICATE_PARAGRAPHS),
 })
+
+
+# ------------------------------- round 4f: spanning forest + matching
+def _weighted_web_graph(spark, n=400):
+    """The web-400 fixture with deterministic all-but-certainly-distinct
+    edge weights: 1 + xxhash64(src,dst) mod 2^40 (exact in a double; tie
+    probability over ~2k edges ≈ 2e-6, and the input is fixed, so the
+    golden generation verified once that no tie exists)."""
+    from networkx_spark.generators import web_edges
+    e = (web_edges(spark, 400, seed=42, as_urls=False)
+         .select("src", "dst",
+                 (F.pmod(F.xxhash64("src", "dst"), F.lit(1099511627776))
+                  .cast("double") + F.lit(1.0)).alias("w")))
+    return Graph.from_edges(e, directed=False, weight="w", combine="min")
+
+
+def q_mst(spark, sf_dir):
+    """Borůvka minimum spanning forest on the weighted web-400 fixture
+    (``mst.py``; reference ``tree/mst.py:372``).  The oracle golden is
+    generated FROM THE REFERENCE's Kruskal (scripts/make_goldens.py) —
+    an independent oracle, not a self-pin: distinct weights make the MSF
+    unique, so the two engines must agree edge-for-edge."""
+    from networkx_spark.algorithms.mst import minimum_spanning_edges
+    return (minimum_spanning_edges(_weighted_web_graph(spark))
+            .select("src", "dst", F.round("weight", 2).alias("weight")))
+
+
+SQL_MST_GOLDEN = (f"SELECT src, dst, weight FROM "
+                  f"read_parquet('{GOLDEN_DIR}/mst_web400.parquet')")
+
+
+def q_maximal_matching(spark, sf_dir):
+    """Deterministic local-dominance maximal matching on the web-400
+    fixture (``mst.py``; reference ``matching.py:21``) — engine-output
+    golden pin; validity + maximality are independently asserted against
+    the reference's ``is_maximal_matching`` in tests/test_mst.py."""
+    from networkx_spark.algorithms.mst import maximal_matching
+    return maximal_matching(_web_graph(spark, directed=False))
+
+
+SQL_MATCHING_GOLDEN = (f"SELECT src, dst FROM "
+                       f"read_parquet('{GOLDEN_DIR}/matching_web400.parquet')")
+
+
+QUERIES.update({
+    "mst_forest": (q_mst, SQL_MST_GOLDEN),
+    "maximal_matching": (q_maximal_matching, SQL_MATCHING_GOLDEN),
+})

@@ -18,17 +18,43 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def _mst_reference(spark):
+    """MSF golden computed FROM THE REFERENCE's Kruskal — an independent
+    oracle for the ``mst_forest`` gate row, not a self-pin.  Distinct
+    weights (asserted) make the forest unique, so the engine's Borůvka
+    must reproduce it edge-for-edge."""
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import networkx as nx
+
+    from networkx_spark.entry_queries import _weighted_web_graph
+
+    rows = _weighted_web_graph(spark).edges.collect()
+    assert len({r.weight for r in rows}) == len(rows), \
+        "weight tie: the MSF would not be unique — change the hash modulus"
+    G = nx.Graph()
+    for r in rows:
+        G.add_edge(r.src, r.dst, weight=r.weight)
+    data = [(int(min(u, v)), int(max(u, v)), round(float(d["weight"]), 2))
+            for u, v, d in nx.minimum_spanning_edges(
+                G, algorithm="kruskal", data=True)]
+    return spark.createDataFrame(data, "src long, dst long, weight double")
+
+
 def main() -> None:
     from pyspark.sql import functions as F
 
     from networkx_spark.entry_queries import (GOLDEN_DIR, q_asyn_lpa,
-                                              q_fast_lpa, q_lpa, q_louvain)
+                                              q_fast_lpa, q_lpa, q_louvain,
+                                              q_maximal_matching)
     from networkx_spark.generators import synthesize_pages
     from networkx_spark.session import get_spark
 
     spark = get_spark("make-goldens", cores=8, shuffle_partitions=8)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    jobs = [("label_propagation_web400", lambda: q_lpa(spark, "")),
+    jobs = [("mst_web400", lambda: _mst_reference(spark)),
+            ("matching_web400", lambda: q_maximal_matching(spark, "")),
+            ("label_propagation_web400", lambda: q_lpa(spark, "")),
             ("asyn_lpa_web400", lambda: q_asyn_lpa(spark, "")),
             ("louvain_web400", lambda: q_louvain(spark, "")),
             ("fast_lpa_web400", lambda: q_fast_lpa(spark, "")),
