@@ -213,9 +213,15 @@ def main() -> None:
     ap.add_argument("--cores", default="8,32")
     ap.add_argument("--supersteps", type=int, default=12)
     ap.add_argument("--kernel", default="row", choices=["row", "blocked"])
-    # >1 = N partitions per core: smooths reducer-side skew tails (power-law
-    # in-degree) at the cost of per-task fixed overhead
-    ap.add_argument("--shuffle-factor", type=int, default=1)
+    # N partitions per core: smooths straggler tails (power-law in-degree
+    # partitions + hypervisor jitter) at the cost of per-task fixed
+    # overhead.  Measured on the 16M-page input, back to back per level
+    # (12 supersteps, fresh JVMs): factor 2 halves the SETUP phase at both
+    # levels (local[32]: 105-119s -> 55s; local[8]: 54s -> 28s — the
+    # normalization write's slowest task dominates at 1 partition/core)
+    # and is the steady-state sweet spot at local[32] (4.45s vs 4.5-4.8s
+    # at factor 1, 4.94s at factor 3).
+    ap.add_argument("--shuffle-factor", type=int, default=2)
     # pre-generated edge parquet shared by all workers ("" = each worker
     # generates its own, the round-1/2 behaviour)
     ap.add_argument("--edges-path", default="AUTO")
