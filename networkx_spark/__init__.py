@@ -44,8 +44,8 @@ from networkx_spark.attributes import (
     get_edge_attributes, get_node_attributes,
     set_edge_attributes, set_node_attributes)
 from networkx_spark.readwrite import (
-    read_adjlist, read_edgelist, read_gml, read_graphml,
-    write_adjlist, write_edgelist, write_gml, write_graphml)
+    read_adjlist, read_edgelist, read_gml, read_graphml, read_pajek,
+    write_adjlist, write_edgelist, write_gml, write_graphml, write_pajek)
 from networkx_spark.algorithms.neighbor_degree import (
     average_degree_connectivity, average_neighbor_degree)
 from networkx_spark.algorithms.centrality import (
