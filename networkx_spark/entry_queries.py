@@ -2394,3 +2394,155 @@ QUERIES.update({
     "mst_forest": (q_mst, SQL_MST_GOLDEN),
     "maximal_matching": (q_maximal_matching, SQL_MATCHING_GOLDEN),
 })
+
+
+# -------------------- round 4g: dominating set, s-metric, mixing, host graph
+def q_dominating_start(spark, sf_dir):
+    """MIS-based dominating set seeded with ``start_with=1`` over the
+    undirected derived graph (``dominating.py``; reference
+    ``algorithms/dominating.py:11`` — any valid dominating set conforms,
+    so the deterministic Luby construction is checkable).  The oracle
+    unrolls the identical seeded rounds: vertex 1 and its neighborhood
+    leave the pool before round 0."""
+    from networkx_spark.algorithms.dominating import dominating_set
+    g = derived_graph(spark, sf_dir, directed=False)
+    return dominating_set(g, start_with=1, seed=0)
+
+
+def _dominating_sql(start: int) -> str:
+    from networkx_spark.algorithms.mis import MERSENNE31, luby_constants
+    consts = luby_constants(0, LUBY_SQL_ROUNDS)
+    parts = [f"ue AS MATERIALIZED ({UEDGES_SQL})",
+             "sym AS MATERIALIZED (SELECT src, dst FROM ue "
+             "UNION ALL SELECT dst, src FROM ue)",
+             "verts AS MATERIALIZED (SELECT src AS id FROM sym "
+             "UNION SELECT dst FROM sym)",
+             # the seed vertex and its closed neighborhood leave the pool
+             f"und0 AS MATERIALIZED (SELECT id FROM verts "
+             f"WHERE id <> {start} AND id NOT IN "
+             f"(SELECT dst FROM sym WHERE src = {start}))"]
+    wins = [f"SELECT {start} AS id"]
+    for r, (a, b) in enumerate(consts):
+        def pri(expr, a=a, b=b):
+            return f"(({a} * {expr} + {b}) % {MERSENNE31})"
+        parts.append(
+            f"win{r} AS MATERIALIZED ("
+            f"SELECT u.id FROM und{r} u LEFT JOIN ("
+            f"  SELECT s.src AS id, min({pri('s.dst')}) AS mn"
+            f"  FROM sym s JOIN und{r} d ON d.id = s.dst GROUP BY s.src"
+            f") nb USING (id) "
+            f"WHERE nb.mn IS NULL OR {pri('u.id')} < nb.mn)")
+        parts.append(
+            f"und{r + 1} AS MATERIALIZED ("
+            f"SELECT id FROM und{r} WHERE id NOT IN (SELECT id FROM win{r}) "
+            f"AND id NOT IN (SELECT s.src FROM sym s "
+            f"JOIN win{r} w ON w.id = s.dst))")
+        wins.append(f"SELECT id FROM win{r}")
+    return ("WITH " + ",\n".join(parts) +
+            "\nSELECT id FROM (" + " UNION ALL ".join(wins) + ")")
+
+
+SQL_DOMINATING_START = _dominating_sql(1)
+
+
+def q_s_metric(spark, sf_dir):
+    """s-metric (sum of deg(u)*deg(v) over edges, total degree) of the
+    directed derived graph (``smetric.py``; reference
+    ``algorithms/smetric.py:7``)."""
+    from networkx_spark.algorithms.smetric import s_metric
+    s = s_metric(derived_graph(spark, sf_dir, directed=True))
+    return spark.createDataFrame([(float(s),)], "s_metric double")
+
+
+SQL_S_METRIC = f"""
+WITH e AS ({EDGES_SQL}),
+alldeg AS (
+  SELECT id, count(*) AS d
+  FROM (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+  GROUP BY id)
+SELECT CAST(sum(du.d * dv.d) AS DOUBLE) AS s_metric
+FROM e JOIN alldeg du ON e.src = du.id JOIN alldeg dv ON e.dst = dv.id
+"""
+
+
+def q_degree_mixing(spark, sf_dir):
+    """Sparse joint (out-degree, in-degree) mixing counts over the directed
+    derived graph (``mixing.py``; reference
+    ``assortativity/mixing.py:117,149``)."""
+    from networkx_spark.algorithms.mixing import degree_mixing
+    return degree_mixing(derived_graph(spark, sf_dir, directed=True))
+
+
+SQL_DEGREE_MIXING = f"""
+WITH e AS ({EDGES_SQL}),
+od AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+idg AS (SELECT dst AS id, count(*) AS d FROM e GROUP BY dst)
+SELECT od.d AS x, idg.d AS y, CAST(count(*) AS DOUBLE) AS weight
+FROM e JOIN od ON e.src = od.id JOIN idg ON e.dst = idg.id
+GROUP BY od.d, idg.d
+"""
+
+
+# URL-ized derived edges: both engines build the SAME url strings from the
+# derived graph, so the host-collapse logic is tested against a pure SQL
+# oracle (the synthetic-web-graph generator is numpy-hash-based and not
+# SQL-replayable, the lineitem-derived graph is).
+_URL = "concat('https://host', CAST({v} // 10 AS VARCHAR), '.test/p', CAST({v} AS VARCHAR))"
+
+
+def _url_edges(spark, sf_dir):
+    host = lambda c: F.concat(F.lit("https://host"),   # noqa: E731
+                              (F.col(c) / 10).cast("int").cast("string"),
+                              F.lit(".test/p"), F.col(c).cast("string"))
+    return derived_edges(spark, sf_dir).select(
+        host("src").alias("src"), host("dst").alias("dst"))
+
+
+def q_host_graph(spark, sf_dir):
+    """Page-URL edge table collapsed to the weighted host graph
+    (``webgraph.py:host_graph``, net-new Common-Crawl-style surface)."""
+    from networkx_spark.webgraph import host_graph
+    return host_graph(_url_edges(spark, sf_dir))
+
+
+SQL_HOST_GRAPH = f"""
+WITH e AS ({EDGES_SQL}),
+u AS (SELECT {_URL.format(v='src')} AS src, {_URL.format(v='dst')} AS dst FROM e),
+h AS (SELECT regexp_extract(src, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS src,
+             regexp_extract(dst, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS dst
+      FROM u)
+SELECT src, dst, CAST(count(*) AS DOUBLE) AS weight FROM h GROUP BY src, dst
+"""
+
+
+def q_host_degrees(spark, sf_dir):
+    """Per-host link stats (out_pages, out_links, in_links) from the same
+    URL-ized derived edges (``webgraph.py:host_degrees``)."""
+    from networkx_spark.webgraph import host_degrees
+    return host_degrees(_url_edges(spark, sf_dir))
+
+
+SQL_HOST_DEGREES = f"""
+WITH e AS ({EDGES_SQL}),
+u AS (SELECT {_URL.format(v='src')} AS src, {_URL.format(v='dst')} AS dst FROM e),
+o AS (SELECT regexp_extract(src, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+             count(DISTINCT src) AS out_pages, count(*) AS out_links
+      FROM u GROUP BY 1),
+i AS (SELECT regexp_extract(dst, '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)', 1) AS host,
+             count(*) AS in_links
+      FROM u GROUP BY 1)
+SELECT coalesce(o.host, i.host) AS host,
+       coalesce(o.out_pages, 0) AS out_pages,
+       coalesce(o.out_links, 0) AS out_links,
+       coalesce(i.in_links, 0) AS in_links
+FROM o FULL JOIN i ON o.host = i.host
+"""
+
+
+QUERIES.update({
+    "dominating_start": (q_dominating_start, SQL_DOMINATING_START),
+    "s_metric": (q_s_metric, SQL_S_METRIC),
+    "degree_mixing": (q_degree_mixing, SQL_DEGREE_MIXING),
+    "host_graph": (q_host_graph, SQL_HOST_GRAPH),
+    "host_degrees": (q_host_degrees, SQL_HOST_DEGREES),
+})
