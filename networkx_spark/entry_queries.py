@@ -2546,3 +2546,102 @@ QUERIES.update({
     "host_graph": (q_host_graph, SQL_HOST_GRAPH),
     "host_degrees": (q_host_degrees, SQL_HOST_DEGREES),
 })
+
+
+# ------------------- round 4h: personalized and host-level weighted PageRank
+def q_pagerank_personalized(spark, sf_dir):
+    """Personalized PageRank with a sparse seed set (``id % 10 == 0``) —
+    exercises the personalization + dangling-defaults-to-p path
+    (reference ``pagerank_alg.py:475-488``) that was previously
+    pytest-only.  Seeds passed as a DataFrame so ids keep their long type;
+    teleport AND dangling mass both redistribute to the seeds."""
+    from networkx_spark.algorithms.pagerank import pagerank
+    g = derived_graph(spark, sf_dir)
+    seeds = (g.vertices().filter(F.col("id") % 10 == 0)
+             .select("id", F.lit(1.0).alias("p")))
+    r = pagerank(g, alpha=ALPHA, max_iter=PR_ITERS, tol=None,
+                 personalization=seeds)
+    return r.select("id", F.round("rank", 6).alias("rank"))
+
+
+def _pagerank_personalized_sql() -> str:
+    parts = [f"e AS MATERIALIZED ({EDGES_SQL})",
+             f"v AS MATERIALIZED ({VERTS_SQL})",
+             "outdeg AS MATERIALIZED (SELECT src, count(*)::DOUBLE AS d FROM e GROUP BY src)",
+             # normalized personalization: seeds share mass equally, others 0
+             "pv AS MATERIALIZED (SELECT id, "
+             "(CASE WHEN id % 10 = 0 THEN 1.0 ELSE 0.0 END) / "
+             "(SELECT count(*) FROM v WHERE id % 10 = 0) AS p FROM v)",
+             "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v)",
+             "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)"]
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"dm{i} AS MATERIALIZED (SELECT COALESCE(sum(rank), 0) AS dm FROM r{p} "
+            f"WHERE id NOT IN (SELECT src FROM outdeg))")
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, sum(r.rank / o.d) AS contrib "
+            f"FROM r{p} r JOIN e ON r.id = e.src JOIN outdeg o ON o.src = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, {ALPHA} * (COALESCE(c.contrib, 0) "
+            f"+ (SELECT dm FROM dm{i}) * pv.p) "
+            f"+ {1 - ALPHA} * pv.p AS rank "
+            f"FROM v JOIN pv USING (id) LEFT JOIN c{i} c ON v.id = c.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, round(rank, 6) AS rank FROM r{PR_ITERS}")
+
+
+SQL_PAGERANK_PERSONALIZED = _pagerank_personalized_sql()
+
+
+def q_host_pagerank(spark, sf_dir):
+    """Weighted PageRank over the host rollup of the URL-ized derived
+    edges — the Common-Crawl composition (pages → host graph → rank) and
+    the only gate row through the weighted transition path
+    (``pagerank.py`` right-stochastic normalization over real weights)."""
+    from networkx_spark.algorithms.pagerank import pagerank
+    from networkx_spark.webgraph import host_graph_as_graph
+    g = host_graph_as_graph(_url_edges(spark, sf_dir))
+    r = pagerank(g, alpha=ALPHA, max_iter=PR_ITERS, tol=None)
+    return r.select(F.col("id").alias("host"), F.round("rank", 6).alias("rank"))
+
+
+def _host_pagerank_sql() -> str:
+    hre = "'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)'"
+    parts = [f"pe AS MATERIALIZED ({EDGES_SQL})",
+             f"u AS MATERIALIZED (SELECT {_URL.format(v='src')} AS src, "
+             f"{_URL.format(v='dst')} AS dst FROM pe)",
+             f"e AS MATERIALIZED (SELECT regexp_extract(src, {hre}, 1) AS src, "
+             f"regexp_extract(dst, {hre}, 1) AS dst, count(*)::DOUBLE AS w "
+             "FROM u GROUP BY 1, 2)",
+             "v AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e)",
+             "nn AS MATERIALIZED (SELECT count(*)::DOUBLE AS n FROM v)",
+             "outw AS MATERIALIZED (SELECT src, sum(w) AS sw FROM e GROUP BY src)",
+             "r0 AS MATERIALIZED (SELECT id, 1.0/(SELECT n FROM nn) AS rank FROM v)"]
+    for i in range(1, PR_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"dm{i} AS MATERIALIZED (SELECT COALESCE(sum(rank), 0) AS dm FROM r{p} "
+            f"WHERE id NOT IN (SELECT src FROM outw))")
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS id, "
+            f"sum(r.rank * e.w / o.sw) AS contrib "
+            f"FROM r{p} r JOIN e ON r.id = e.src JOIN outw o ON o.src = e.src "
+            f"GROUP BY e.dst)")
+        parts.append(
+            f"r{i} AS MATERIALIZED (SELECT v.id, {ALPHA} * (COALESCE(c.contrib, 0) "
+            f"+ (SELECT dm FROM dm{i}) / (SELECT n FROM nn)) "
+            f"+ {1 - ALPHA} / (SELECT n FROM nn) AS rank "
+            f"FROM v LEFT JOIN c{i} c ON v.id = c.id)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id AS host, round(rank, 6) AS rank FROM r{PR_ITERS}")
+
+
+SQL_HOST_PAGERANK = _host_pagerank_sql()
+
+
+QUERIES.update({
+    "pagerank_personalized": (q_pagerank_personalized, SQL_PAGERANK_PERSONALIZED),
+    "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
+})
