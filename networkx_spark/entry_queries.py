@@ -2645,3 +2645,127 @@ QUERIES.update({
     "pagerank_personalized": (q_pagerank_personalized, SQL_PAGERANK_PERSONALIZED),
     "host_pagerank": (q_host_pagerank, SQL_HOST_PAGERANK),
 })
+
+
+# ------------------------------------------- round 4: corpus curation ops
+
+def q_ngram_vocab(spark, sf_dir):
+    """Top-50 bigram vocabulary over the documents corpus — tokenizer
+    vocabulary building.  Spark builds n-grams by a positional self-join
+    of posexploded tokens; the oracle builds the identical strings with a
+    DuckDB list comprehension, so the two engines agree byte-for-byte."""
+    from networkx_spark.pipeline.curation import ngram_vocabulary
+    return ngram_vocabulary(load(spark, sf_dir, "documents"), n=2, top_k=50)
+
+
+SQL_NGRAM_VOCAB = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),
+                            '\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws),1)),
+                               i -> array_to_string(ws[i:i+1], ' '))) AS ngram
+  FROM d WHERE len(ws) >= 2 AND ws[1] <> ''
+)
+SELECT ngram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occurrences
+FROM g GROUP BY ngram ORDER BY n_occurrences DESC, ngram ASC LIMIT 50
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any word
+    3-gram with the held-out slice (doc_id % 37 == 0 plays the benchmark).
+    The benchmark n-gram set is broadcast — one map-side semi-join over
+    the corpus at scale."""
+    from networkx_spark.pipeline.curation import decontaminate
+    docs = load(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    train = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(train, bench, n=3)
+
+
+SQL_DECONTAMINATE = r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text),'[^a-z0-9]+',' ','g')),
+                            '\s+') AS ws
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws)-1,1)),
+                               i -> array_to_string(ws[i:i+2], ' '))) AS ngram
+  FROM d WHERE len(ws) >= 3 AND ws[1] <> ''
+)
+SELECT a.doc_id, CAST(count(DISTINCT a.ngram) AS BIGINT) AS n_hits,
+       CAST(count(DISTINCT b.bench_id) AS BIGINT) AS n_bench_docs
+FROM (SELECT * FROM g WHERE doc_id % 37 <> 0) a
+JOIN (SELECT DISTINCT doc_id AS bench_id, ngram FROM g WHERE doc_id % 37 = 0) b
+  USING (ngram)
+GROUP BY a.doc_id
+"""
+
+
+def q_hash_sample(spark, sf_dir):
+    """Deterministic 25% corpus sample by lexicographic md5 threshold —
+    reproducible across engines/runs/partitionings (no RNG state)."""
+    from networkx_spark.pipeline.curation import hash_sample
+    docs = load(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.25).select("doc_id", "n_chars")
+
+
+SQL_HASH_SAMPLE = r"""
+SELECT doc_id, n_chars FROM documents
+WHERE substr(md5('nxs:' || CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over documents with a synthesized contact line appended
+    (the synthetic corpus has no organic emails/phones, so the query
+    injects one of each per doc to exercise the regexes genuinely); the
+    oracle re-derives counts and the md5 of the redacted bytes with RE2's
+    identical dialect subset."""
+    from networkx_spark.pipeline.curation import redact_pii
+    docs = load(spark, sf_dir, "documents").withColumn(
+        "text", F.concat(F.col("text"), F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com or +1-555-867-5309 x"),
+                         F.col("doc_id").cast("string")))
+    return redact_pii(docs)
+
+
+SQL_PII_REDACTION = r"""
+WITH d AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or +1-555-867-5309 x'
+              || CAST(doc_id AS VARCHAR) AS text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text,
+       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+  CAST(len(regexp_extract_all(
+       regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                      '<EMAIL>', 'g'),
+       '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}')) AS INT)
+       AS n_phones,
+  md5(regexp_replace(
+        regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+        '\+?[0-9]{1,3}[-. ][0-9]{3}[-. ][0-9]{3,4}[-. ]?[0-9]{0,4}',
+        '<PHONE>', 'g')) AS redacted_fp
+FROM d
+"""
+
+
+QUERIES.update({
+    "ngram_vocab": (q_ngram_vocab, SQL_NGRAM_VOCAB),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+})

@@ -1,0 +1,87 @@
+"""Corpus-curation operators: n-gram vocabulary, decontamination,
+deterministic sampling, PII redaction (pipeline/curation.py)."""
+
+import hashlib
+
+import pytest
+
+from networkx_spark.pipeline.curation import (
+    decontaminate, hash_sample, ngram_vocabulary, redact_pii, word_ngrams)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat"),
+        (1, "the cat ate the mat"),
+        (2, "dogs bark loudly at night"),
+        (3, ""),
+        (4, "solo"),
+        (5, "The CAT sat, on the mat!"),  # normalizes identically to doc 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_ngrams_bigrams(docs):
+    got = {(r.doc_id, r.ngram) for r in word_ngrams(docs, n=2).collect()}
+    assert ("the cat", ) not in got  # tuples carry doc_id
+    assert (0, "the cat") in got and (0, "the mat") in got
+    assert (5, "the cat") in got     # punctuation/case-normalized
+    assert all(d != 3 for d, _ in got)   # empty doc yields nothing
+    assert all(d != 4 for d, _ in got)   # single token has no bigram
+
+
+def test_word_ngrams_trigram_count(docs):
+    rows = word_ngrams(docs, n=3).filter("doc_id = 0").collect()
+    # 6 tokens -> 4 trigrams
+    assert sorted(r.ngram for r in rows) == sorted(
+        ["the cat sat", "cat sat on", "sat on the", "on the mat"])
+
+
+def test_ngram_vocabulary_order_and_ties(docs):
+    rows = ngram_vocabulary(docs, n=2, top_k=3).collect()
+    assert rows[0].ngram == "the cat" and rows[0].n_occurrences == 3
+    assert rows[0].n_docs == 3
+    # ties broken ascending by ngram
+    occ = [r.n_occurrences for r in rows]
+    assert occ == sorted(occ, reverse=True)
+
+
+def test_decontaminate(docs, spark):
+    bench = spark.createDataFrame(
+        [(100, "why the cat sat on chairs")], "doc_id long, text string")
+    out = {r.doc_id: (r.n_hits, r.n_bench_docs)
+           for r in decontaminate(docs, bench, n=3).collect()}
+    # docs 0 and 5 share "the cat sat" and "cat sat on" with the benchmark
+    assert set(out) == {0, 5}
+    assert out[0] == (2, 1) and out[5] == (2, 1)
+
+
+def test_hash_sample_deterministic_and_engine_exact(docs):
+    kept = sorted(r.doc_id for r in hash_sample(docs, 0.5, salt="s").collect())
+    kept2 = sorted(r.doc_id for r in
+                   hash_sample(docs.repartition(7), 0.5, salt="s").collect())
+    assert kept == kept2  # partitioning-independent
+    expect = [i for i in range(6)
+              if hashlib.md5(f"s:{i}".encode()).hexdigest()[:8] < "80000000"]
+    assert kept == expect  # engine-independent md5 threshold rule
+
+
+def test_hash_sample_bounds(docs):
+    assert hash_sample(docs, 0.0).count() == 0
+    assert hash_sample(docs, 1.0).count() == docs.count()
+    with pytest.raises(ValueError):
+        hash_sample(docs, 1.5)
+
+
+def test_redact_pii(spark):
+    rows = [(0, "mail a.b-c_d@foo-bar.org or call +44-201-794 0958 now"),
+            (1, "no pii here"), (2, "")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in redact_pii(d).collect()}
+    assert out[0].n_emails == 1 and out[0].n_phones == 1
+    assert out[1].n_emails == 0 and out[1].n_phones == 0
+    # the redacted fingerprint of a clean doc equals md5 of the raw text
+    assert out[1].redacted_fp == hashlib.md5(b"no pii here").hexdigest()
+    assert out[0].redacted_fp == hashlib.md5(
+        b"mail <EMAIL> or call <PHONE> now").hexdigest()
