@@ -2769,3 +2769,93 @@ QUERIES.update({
     "hash_sample": (q_hash_sample, SQL_HASH_SAMPLE),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
 })
+
+
+# --------------------------------- round 4: bridges / 2-edge-connectivity
+
+def _bridge_graph(spark, sf_dir):
+    """Sparse bipartite order-customer graph (mod-compressed, 1-in-31
+    order sample): 482 edges / 458 vertices at sf0.01 with a genuine mix
+    of bridges (244) and cycle edges — dense derived graphs have no
+    bridges, forests have only bridges."""
+    from networkx_spark.graph import Graph
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    e = (o.select((F.col("o_orderkey") % 331).alias("a"),
+                  (F.col("o_custkey") % 127 + 331).alias("b"))
+         .filter(F.col("a") != F.col("b"))
+         .select(F.least("a", "b").alias("src"),
+                 F.greatest("a", "b").alias("dst"))
+         .distinct())
+    return Graph.from_edges(e, directed=False)
+
+
+def q_bridges(spark, sf_dir):
+    """Per-edge bridge classification via BFS forest + two-channel XOR
+    covering (Monte Carlo, error 2^-128 per edge); the oracle re-derives
+    every label independently by per-edge removal reachability (an edge is
+    a bridge iff its endpoints disconnect without it) in one recursive
+    CTE."""
+    from networkx_spark.algorithms.bridges import bridge_labels
+    return bridge_labels(_bridge_graph(spark, sf_dir))
+
+
+BRIDGE_EDGES_SQL = """
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM (SELECT (o_orderkey % 331) AS a, (o_custkey % 127 + 331) AS b
+        FROM orders WHERE o_orderkey % 31 = 0)
+  WHERE a <> b
+"""
+
+SQL_BRIDGES = f"""
+WITH RECURSIVE
+e AS (SELECT row_number() OVER (ORDER BY u, v) AS eid, u, v
+      FROM ({BRIDGE_EDGES_SQL})),
+d AS (SELECT eid, u AS s, v AS t FROM e
+      UNION ALL SELECT eid, v AS s, u AS t FROM e),
+reach(eid, v) AS (
+  SELECT eid, u FROM e
+  UNION
+  SELECT r.eid, d.t FROM reach r JOIN d ON d.s = r.v WHERE d.eid <> r.eid
+)
+SELECT e.u, e.v, (x.v IS NULL) AS is_bridge
+FROM e LEFT JOIN (SELECT DISTINCT eid, v FROM reach) x
+  ON x.eid = e.eid AND x.v = e.v
+"""
+
+
+def q_two_edge_components(spark, sf_dir):
+    """2-edge-connected components (components after bridge deletion,
+    comp = min member id); bridge-only vertices become singletons."""
+    from networkx_spark.algorithms.bridges import two_edge_connected_components
+    return two_edge_connected_components(_bridge_graph(spark, sf_dir))
+
+
+SQL_TWO_EDGE_COMPONENTS = f"""
+WITH RECURSIVE
+e AS (SELECT row_number() OVER (ORDER BY u, v) AS eid, u, v
+      FROM ({BRIDGE_EDGES_SQL})),
+d AS (SELECT eid, u AS s, v AS t FROM e
+      UNION ALL SELECT eid, v AS s, u AS t FROM e),
+reach(eid, v) AS (
+  SELECT eid, u FROM e
+  UNION
+  SELECT r.eid, d.t FROM reach r JOIN d ON d.s = r.v WHERE d.eid <> r.eid
+),
+nb AS (SELECT e.u, e.v FROM e
+       JOIN (SELECT DISTINCT eid, v FROM reach) x
+         ON x.eid = e.eid AND x.v = e.v),
+nd AS (SELECT u AS s, v AS t FROM nb UNION ALL SELECT v AS s, u AS t FROM nb),
+verts AS (SELECT DISTINCT u AS id FROM e UNION SELECT DISTINCT v FROM e),
+walk(id, lbl) AS (
+  SELECT id, id FROM verts
+  UNION
+  SELECT nd.t, walk.lbl FROM walk JOIN nd ON nd.s = walk.id
+)
+SELECT id, min(lbl) AS comp FROM walk GROUP BY id
+"""
+
+
+QUERIES.update({
+    "bridges": (q_bridges, SQL_BRIDGES),
+    "two_edge_components": (q_two_edge_components, SQL_TWO_EDGE_COMPONENTS),
+})
