@@ -2859,3 +2859,41 @@ QUERIES.update({
     "bridges": (q_bridges, SQL_BRIDGES),
     "two_edge_components": (q_two_edge_components, SQL_TWO_EDGE_COMPONENTS),
 })
+
+
+# --------------------------------------- round 4: Weisfeiler-Lehman hashing
+
+def q_wl_colors(spark, sf_dir):
+    """WL refinement colors (md5 scale mode) at depths 1-3 on the sparse
+    order-customer graph; the oracle unrolls the three refinement rounds
+    with ``string_agg(label, '' ORDER BY label)`` — the same sorted
+    neighbor concatenation, byte-for-byte."""
+    from networkx_spark.algorithms.graph_hashing import wl_colors
+    return wl_colors(_bridge_graph(spark, sf_dir), iterations=3, digest="md5")
+
+
+def _wl_sql() -> str:
+    parts = [f"e AS ({BRIDGE_EDGES_SQL})",
+             "sym AS (SELECT u AS id, v AS nbr FROM e "
+             "UNION ALL SELECT v AS id, u AS nbr FROM e)",
+             "l0 AS (SELECT id, CAST(count(*) AS VARCHAR) AS label "
+             "FROM sym GROUP BY id)"]
+    for i in range(1, 4):
+        p = i - 1
+        parts.append(
+            f"l{i} AS (SELECT l.id, md5(l.label || "
+            f"coalesce(string_agg(nl.label, '' ORDER BY nl.label), '')) AS label "
+            f"FROM l{p} l JOIN sym s ON s.id = l.id "
+            f"JOIN l{p} nl ON nl.id = s.nbr "
+            f"GROUP BY l.id, l.label)")
+    sel = " UNION ALL ".join(
+        f"SELECT id, {i} AS depth, label AS color FROM l{i}" for i in (1, 2, 3))
+    return "WITH " + ",\n".join(parts) + "\n" + sel
+
+
+SQL_WL_COLORS = _wl_sql()
+
+
+QUERIES.update({
+    "wl_colors": (q_wl_colors, SQL_WL_COLORS),
+})
