@@ -2897,3 +2897,48 @@ SQL_WL_COLORS = _wl_sql()
 QUERIES.update({
     "wl_colors": (q_wl_colors, SQL_WL_COLORS),
 })
+
+
+# ------------------------------------------ round 4: random-walk corpus
+
+WALK_LEN, WALK_SEED = 4, 3
+
+
+def q_random_walks(spark, sf_dir):
+    """Length-4 seeded walk from every vertex of the sparse order-customer
+    graph — DeepWalk-style corpus generation.  The MINSTD draw is pure
+    BIGINT arithmetic, so the oracle replays every move in SQL."""
+    from networkx_spark.algorithms.walks import random_walks
+    return random_walks(_bridge_graph(spark, sf_dir),
+                        walk_length=WALK_LEN, num_walks=1, seed=WALK_SEED)
+
+
+def _walks_sql() -> str:
+    m, a = 2_147_483_647, 48_271
+    parts = [f"e0 AS ({BRIDGE_EDGES_SQL})",
+             "sym AS (SELECT u AS id, v AS nbr FROM e0 "
+             "UNION ALL SELECT v AS id, u AS nbr FROM e0)",
+             "adj AS (SELECT id, nbr, row_number() OVER "
+             "(PARTITION BY id ORDER BY nbr) - 1 AS rk FROM sym)",
+             "deg AS (SELECT id, count(*) AS deg FROM sym GROUP BY id)",
+             "w0 AS (SELECT DISTINCT id AS walk_id, id AS cur FROM sym)"]
+    sels = ["SELECT walk_id, 0 AS walk_no, 0 AS step, cur AS node FROM w0"]
+    for t in range(1, WALK_LEN + 1):
+        x0 = f"({WALK_SEED} * 1000003 + w.walk_id * 69621 + {t} * 127)"
+        draw = (f"((((({x0} % {m}) + {m}) % {m})"
+                f" * {a} % {m}) * {a} % {m})")
+        parts.append(
+            f"w{t} AS (SELECT w.walk_id, a.nbr AS cur "
+            f"FROM w{t-1} w JOIN deg d ON d.id = w.cur "
+            f"JOIN adj a ON a.id = w.cur AND a.rk = {draw} % d.deg)")
+        sels.append(f"SELECT walk_id, 0 AS walk_no, {t} AS step, "
+                    f"cur AS node FROM w{t}")
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL ".join(sels)
+
+
+SQL_RANDOM_WALKS = _walks_sql()
+
+
+QUERIES.update({
+    "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
+})
