@@ -120,3 +120,52 @@ def bipartite_sets(g: Graph, max_iter: int = 10_000) -> DataFrame:
         raise ValueError("Disconnected graph: ambiguous solution for "
                          "bipartite sets. (reference AmbiguousSolution)")
     return colors
+
+
+def projection_weights(g: Graph, nodes: DataFrame) -> DataFrame:
+    """(u, v, shared, jaccard) for u < v in ``nodes(id)`` sharing at least
+    one neighbor: the weight table behind every bipartite projection
+    flavour.  Reference ``bipartite/projection.py:12`` (``projected_graph``
+    — unweighted pair existence), ``:100`` (``weighted_projected_graph`` —
+    shared-neighbor counts), ``:255`` (``overlap_weighted_projected_graph``
+    — Jaccard over neighborhoods).
+
+    One wedge join through the shared neighbor (the same shuffle class as
+    triangle counting: partials combine map-side, the shuffle key is the
+    pair), plus a degree join for the Jaccard denominator.  The wedge
+    fan-out is Σ_n deg(n)² over the OTHER side — the projection's inherent
+    cost (hub neighbors are the classic skew source; cap or salt hubs
+    upstream if the other side has 10^6-degree vertices)."""
+    side = F.broadcast(nodes.select(ID).distinct())
+    adj = (g.symmetrized().select(F.col(SRC).alias(ID), F.col(DST).alias("n"))
+           .filter(F.col(ID) != F.col("n")).distinct()
+           .join(side, ID))
+    deg = adj.groupBy(ID).agg(F.count("*").alias("deg"))
+    a = adj.select(F.col(ID).alias("u"), "n")
+    b = adj.select(F.col(ID).alias("v"), "n")
+    shared = (a.join(b, "n").filter(F.col("u") < F.col("v"))
+              .groupBy("u", "v").agg(F.count("*").alias("shared")))
+    du = deg.select(F.col(ID).alias("u"), F.col("deg").alias("_du"))
+    dv = deg.select(F.col(ID).alias("v"), F.col("deg").alias("_dv"))
+    return (shared.join(du, "u").join(dv, "v")
+            .select("u", "v", "shared",
+                    F.round(F.col("shared")
+                            / (F.col("_du") + F.col("_dv") - F.col("shared")), 6)
+                    .alias("jaccard")))
+
+
+def projected_graph(g: Graph, nodes: DataFrame) -> Graph:
+    """Unweighted projection onto ``nodes`` (``projection.py:12``)."""
+    w = projection_weights(g, nodes)
+    return Graph.from_edges(
+        w.select(F.col("u").alias(SRC), F.col("v").alias(DST)),
+        directed=False)
+
+
+def weighted_projected_graph(g: Graph, nodes: DataFrame) -> Graph:
+    """Shared-neighbor-weighted projection (``projection.py:100``)."""
+    w = projection_weights(g, nodes)
+    return Graph.from_edges(
+        w.select(F.col("u").alias(SRC), F.col("v").alias(DST),
+                 F.col("shared").cast("double").alias("weight")),
+        directed=False, weight="weight")

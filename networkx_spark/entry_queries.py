@@ -2942,3 +2942,35 @@ SQL_RANDOM_WALKS = _walks_sql()
 QUERIES.update({
     "random_walks": (q_random_walks, SQL_RANDOM_WALKS),
 })
+
+
+# ---------------------------------------- round 4: bipartite projection
+
+def q_bipartite_projection(spark, sf_dir):
+    """Customer-side projection of the order-customer bipartite graph:
+    customers are linked iff they share an order slot, weighted by the
+    shared-slot count and its neighborhood Jaccard — one wedge join, the
+    triangle-counting shuffle class."""
+    from networkx_spark.algorithms.bipartite import projection_weights
+    g = _bridge_graph(spark, sf_dir)
+    custs = g.vertices().filter(F.col("id") >= 331)
+    return projection_weights(g, custs)
+
+
+SQL_BIPARTITE_PROJECTION = f"""
+WITH e AS ({BRIDGE_EDGES_SQL}),
+sym AS (SELECT u AS id, v AS n FROM e UNION ALL SELECT v AS id, u AS n FROM e),
+adj AS (SELECT id, n FROM sym WHERE id >= 331),
+deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id),
+sh AS (SELECT a.id AS u, b.id AS v, CAST(count(*) AS BIGINT) AS shared
+       FROM adj a JOIN adj b ON a.n = b.n AND a.id < b.id
+       GROUP BY a.id, b.id)
+SELECT sh.u, sh.v, sh.shared,
+       round(sh.shared / (du.deg + dv.deg - sh.shared), 6) AS jaccard
+FROM sh JOIN deg du ON du.id = sh.u JOIN deg dv ON dv.id = sh.v
+"""
+
+
+QUERIES.update({
+    "bipartite_projection": (q_bipartite_projection, SQL_BIPARTITE_PROJECTION),
+})
