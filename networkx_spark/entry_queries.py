@@ -2974,3 +2974,67 @@ FROM sh JOIN deg du ON du.id = sh.u JOIN deg dv ON dv.id = sh.v
 QUERIES.update({
     "bipartite_projection": (q_bipartite_projection, SQL_BIPARTITE_PROJECTION),
 })
+
+
+# --------------------------------------------- round 4: spectral bisection
+
+FIEDLER_ITERS = 10
+
+
+def q_fiedler(spark, sf_dir):
+    """Deflated power iteration for the Fiedler vector (10 fixed steps) on
+    the sparse order-customer graph, plus the bisection side.  The oracle
+    unrolls the identical recurrence — start vector, shift, and
+    normalization are all engine-portable arithmetic, so the two engines
+    agree to the rounding digit regardless of spectral convergence."""
+    from networkx_spark.algorithms.spectral import fiedler_vector
+    f = fiedler_vector(_bridge_graph(spark, sf_dir), iterations=FIEDLER_ITERS)
+    return f.select("id", F.round("f", 6).alias("f"),
+                    (F.col("f") >= 0).cast("int").alias("side"))
+
+
+def _fiedler_sql() -> str:
+    parts = [f"e AS ({BRIDGE_EDGES_SQL})",
+             "sym AS MATERIALIZED (SELECT u AS id, v AS nbr FROM e "
+             "UNION ALL SELECT v AS id, u AS nbr FROM e)",
+             "deg AS MATERIALIZED (SELECT id, CAST(count(*) AS DOUBLE) AS d "
+             "FROM sym GROUP BY id)",
+             "cc AS MATERIALIZED (SELECT 2.0 * max(d) AS c FROM deg)",
+             "w0 AS MATERIALIZED (SELECT DISTINCT id FROM sym)",
+             "r0 AS MATERIALIZED (SELECT id, ((id * 2654435761 + 1) % 1000003)"
+             " / 1000003.0 - 0.5 AS x FROM w0)",
+             "x0 AS MATERIALIZED (SELECT id, x - (SELECT avg(x) FROM r0) AS x FROM r0)"]
+    for i in range(1, FIEDLER_ITERS + 1):
+        p = i - 1
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT s.nbr AS id, sum(x.x) AS ax "
+            f"FROM sym s JOIN x{p} x ON x.id = s.id GROUP BY s.nbr)")
+        parts.append(
+            f"x{i} AS MATERIALIZED (SELECT x.id, x.x * (1 - d.d / (SELECT c FROM cc)) "
+            f"+ coalesce(a.ax, 0) / (SELECT c FROM cc) AS x "
+            f"FROM x{p} x JOIN deg d ON d.id = x.id "
+            f"LEFT JOIN a{i} a ON a.id = x.id)")
+    last = f"x{FIEDLER_ITERS}"
+    parts.append(f"fin AS MATERIALIZED (SELECT avg(x) AS m FROM {last})")
+    parts.append(
+        f"sgn AS MATERIALIZED (SELECT CASE WHEN x - (SELECT m FROM fin) < 0 "
+        f"THEN -1.0 ELSE 1.0 END AS s FROM {last} "
+        f"WHERE id = (SELECT min(id) FROM {last}))")
+    parts.append(
+        f"nrm AS MATERIALIZED (SELECT sqrt(sum((x - (SELECT m FROM fin)) ^ 2)) AS n "
+        f"FROM {last})")
+    return ("WITH " + ",\n".join(parts) + f"""
+SELECT id,
+       round((SELECT s FROM sgn) * (x - (SELECT m FROM fin))
+             / (SELECT n FROM nrm), 6) AS f,
+       CAST((SELECT s FROM sgn) * (x - (SELECT m FROM fin))
+            / (SELECT n FROM nrm) >= 0 AS INT) AS side
+FROM {last}""")
+
+
+SQL_FIEDLER = _fiedler_sql()
+
+
+QUERIES.update({
+    "fiedler_bisection": (q_fiedler, SQL_FIEDLER),
+})
