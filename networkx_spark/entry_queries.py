@@ -3038,3 +3038,47 @@ SQL_FIEDLER = _fiedler_sql()
 QUERIES.update({
     "fiedler_bisection": (q_fiedler, SQL_FIEDLER),
 })
+
+
+# ------------------------------------------- round 4: DAG longest path
+
+def q_dag_longest_path(spark, sf_dir):
+    """Longest-path DP over topological generations on a derived DAG
+    (edges always point from smaller to larger mod-class, so acyclicity
+    is structural); returns per-vertex distance + argmax predecessor."""
+    from networkx_spark.algorithms.trees import dag_longest_path_dists
+    from networkx_spark.graph import Graph
+    o = load(spark, sf_dir, "orders")
+    e = (o.select((F.col("o_orderkey") % 20).alias("src"),
+                  (F.col("o_orderkey") % 20 + 1 + F.col("o_custkey") % 5)
+                  .alias("dst"))
+         .distinct())
+    g = Graph.from_edges(e, directed=True)
+    d = dag_longest_path_dists(g)
+    return d.select("id", F.col("dist").cast("long").alias("dist"), "pred")
+
+
+SQL_DAG_LONGEST_PATH = """
+WITH RECURSIVE
+e AS MATERIALIZED (
+  SELECT DISTINCT (o_orderkey % 20) AS src,
+         (o_orderkey % 20 + 1 + o_custkey % 5) AS dst
+  FROM orders),
+verts AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+walk(id, d) AS (
+  SELECT id, 0 FROM verts WHERE id NOT IN (SELECT dst FROM e)
+  UNION
+  SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.id
+),
+dist AS MATERIALIZED (SELECT id, CAST(max(d) AS BIGINT) AS dist
+                      FROM walk GROUP BY id)
+SELECT v.id, v.dist,
+       (SELECT max(e.src) FROM e JOIN dist p ON p.id = e.src
+        WHERE e.dst = v.id AND p.dist + 1 = v.dist) AS pred
+FROM dist v
+"""
+
+
+QUERIES.update({
+    "dag_longest_path": (q_dag_longest_path, SQL_DAG_LONGEST_PATH),
+})
