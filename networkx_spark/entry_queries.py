@@ -3082,3 +3082,53 @@ FROM dist v
 QUERIES.update({
     "dag_longest_path": (q_dag_longest_path, SQL_DAG_LONGEST_PATH),
 })
+
+
+# --------------------------------- round 4: semi-supervised classification
+
+HARMONIC_ITERS = 8
+
+
+def q_harmonic_scores(spark, sf_dir):
+    """Harmonic-function label spreading (Zhu et al. 2003) on the sparse
+    order-customer graph: every 50th vertex is seeded with one of three
+    labels and the sparse F matrix after 8 clamped averaging rounds is
+    returned; the oracle unrolls the identical recurrence."""
+    from networkx_spark.algorithms.node_classification import harmonic_scores
+    g = _bridge_graph(spark, sf_dir)
+    seeds = (g.vertices().filter(F.col("id") % 50 == 0)
+             .select("id", (F.col("id") % 3).alias("label")))
+    f = harmonic_scores(g, seeds, max_iter=HARMONIC_ITERS)
+    return f.select("id", "label", F.round("p", 6).alias("p"))
+
+
+def _harmonic_sql() -> str:
+    parts = [f"e AS MATERIALIZED ({BRIDGE_EDGES_SQL})",
+             "sym AS MATERIALIZED (SELECT u AS id, v AS nbr FROM e "
+             "UNION ALL SELECT v AS id, u AS nbr FROM e)",
+             "deg AS MATERIALIZED (SELECT id, CAST(count(*) AS DOUBLE) AS d "
+             "FROM sym GROUP BY id)",
+             "seeds AS MATERIALIZED (SELECT DISTINCT id, id % 3 AS label, "
+             "1.0 AS p FROM sym WHERE id % 50 = 0)",
+             "f0 AS MATERIALIZED (SELECT * FROM seeds)"]
+    for i in range(1, HARMONIC_ITERS):
+        p = i - 1
+        parts.append(
+            f"f{i} AS MATERIALIZED ("
+            f"SELECT * FROM ("
+            f"  SELECT s.nbr AS id, x.label, sum(x.p / dv.d) AS p "
+            f"  FROM sym s JOIN f{p} x ON x.id = s.id "
+            f"  JOIN deg dv ON dv.id = s.nbr "
+            f"  GROUP BY s.nbr, x.label) sp "
+            f"WHERE sp.id NOT IN (SELECT id FROM seeds) "
+            f"UNION ALL SELECT * FROM seeds)")
+    return ("WITH " + ",\n".join(parts)
+            + f"\nSELECT id, label, round(p, 6) AS p FROM f{HARMONIC_ITERS - 1}")
+
+
+SQL_HARMONIC = _harmonic_sql()
+
+
+QUERIES.update({
+    "harmonic_classification": (q_harmonic_scores, SQL_HARMONIC),
+})
