@@ -1,0 +1,85 @@
+"""Graph summarization — dedensification (hub-edge compression).
+
+Reference: ``networkx/algorithms/summarization.py:69`` (``dedensify``,
+Maccioni & Abadi KDD'16): nodes sharing an identical set H of
+high-degree neighbors (degree > threshold; in-degree when directed) get
+one compressor node c — their |S|·|H| hub edges become |S| + |H| edges
+(S→c, c→H), applied only when that is an actual reduction.  Exactly the
+web-graph hub problem (every page linking the same navigation hubs), and
+exactly a groupBy problem:
+
+1. one aggregation finds high-degree nodes;
+2. one sorted-collect per source builds its high-neighbor set signature
+   (md5 of the sorted list — the reference names compressors by
+   frozenset iteration order, which is nondeterministic across runs;
+   the signature is the same grouping, deterministically named);
+3. one groupBy on the signature sizes each candidate group, the
+   |S|·|H| > |S|+|H| test picks the winners, and the rewrite is two
+   anti-joins + two projections.
+
+No iteration, no driver state: dedensification is 4 shuffles end-to-end
+at any scale.  Vertex ids widen to strings because compressor nodes are
+new synthetic vertices.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from networkx_spark.graph import Graph, SRC, DST, ID
+
+
+def dedensify(g: Graph, threshold: int) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(edges, compressors)``: the rewritten edge table
+    (src, dst — string-typed; undirected graphs canonicalized u < v) and
+    the compressor table (compressor, n_sources, n_hubs).  Raises for
+    ``threshold < 2`` like the reference (``summarization.py:173``)."""
+    if threshold < 2:
+        raise ValueError("The degree threshold must be >= 2")
+    s = F.col(SRC).cast("string")
+    d = F.col(DST).cast("string")
+    if g.directed:
+        edges = g.edges.select(s.alias("u"), d.alias("v")).distinct()
+        hdeg = edges.groupBy(F.col("v").alias(ID)).agg(F.count("*").alias("_d"))
+    else:
+        edges = (g.symmetrized().select(s.alias("u"), d.alias("v"))
+                 .filter(F.col("u") != F.col("v")).distinct())
+        hdeg = edges.groupBy(F.col("v").alias(ID)).agg(F.count("*").alias("_d"))
+    high = hdeg.filter(F.col("_d") > threshold).select(F.col(ID).alias("v"))
+
+    # per-source signature over its high-degree neighbor set
+    hnbrs = edges.join(F.broadcast(high), "v")
+    sig = (hnbrs.groupBy("u")
+           .agg(F.md5(F.array_join(F.array_sort(F.collect_list("v")), "|"))
+                .alias("sig"),
+                F.count("*").alias("_nh")))
+    groups = (sig.groupBy("sig")
+              .agg(F.count("*").alias("n_sources"),
+                   F.first("_nh").alias("n_hubs")))
+    winners = (groups.filter(F.col("n_hubs") * F.col("n_sources")
+                             > F.col("n_hubs") + F.col("n_sources"))
+               .select("sig", "n_sources", "n_hubs"))
+    comp_of = (sig.join(F.broadcast(winners.select("sig")), "sig")
+               .select("u", F.concat(F.lit("C_"), F.col("sig")).alias("comp")))
+
+    # drop every source→hub edge of a winning group, wire S→c and c→H;
+    # removal happens on CANONICAL edges for undirected graphs — an
+    # anti-join on directed rows would let the surviving mirror row
+    # resurrect the removed edge after canonicalization
+    removal = comp_of.join(hnbrs, "u").select("u", "v")
+    if g.directed:
+        base, rem = edges, removal
+    else:
+        base = (edges.select(F.least("u", "v").alias("u"),
+                             F.greatest("u", "v").alias("v")).distinct())
+        rem = (removal.select(F.least("u", "v").alias("u"),
+                              F.greatest("u", "v").alias("v")).distinct())
+    kept = base.join(rem, ["u", "v"], "anti")
+    to_comp = comp_of.select("u", F.col("comp").alias("v")).distinct()
+    from_comp = (comp_of.join(hnbrs, "u")
+                 .select(F.col("comp").alias("u"), "v").distinct())
+    out = kept.unionByName(to_comp).unionByName(from_comp)
+    comps = (winners.select(F.concat(F.lit("C_"), F.col("sig"))
+                            .alias("compressor"), "n_sources", "n_hubs"))
+    return (out.select(F.col("u").alias(SRC), F.col("v").alias(DST)), comps)

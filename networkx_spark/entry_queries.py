@@ -3132,3 +3132,58 @@ SQL_HARMONIC = _harmonic_sql()
 QUERIES.update({
     "harmonic_classification": (q_harmonic_scores, SQL_HARMONIC),
 })
+
+
+# ------------------------------------------- round 4: dedensification
+
+def q_dedensify(spark, sf_dir):
+    """Hub compression (Maccioni & Abadi dedensification) on an
+    order→supplier-hub graph: 500 order classes each linking a subset of
+    7 hub nodes — sources sharing an identical hub set collapse onto one
+    compressor.  Oracle replays the signature grouping with
+    ``string_agg(ORDER BY)`` and the same payoff test."""
+    from networkx_spark.algorithms.summarization import dedensify
+    from networkx_spark.graph import Graph
+    li = load(spark, sf_dir, "lineitem")
+    e = (li.select((F.col("l_orderkey") % 500).alias("src"),
+                   (F.col("l_suppkey") % 7 + 1000).alias("dst"))
+         .distinct())
+    g = Graph.from_edges(e, directed=True)
+    edges, comps = dedensify(g, threshold=10)
+    return edges.select("src", "dst").orderBy("src", "dst")
+
+
+SQL_DEDENSIFY = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_orderkey % 500 AS VARCHAR) AS u,
+         CAST(l_suppkey % 7 + 1000 AS VARCHAR) AS v
+  FROM lineitem),
+hdeg AS MATERIALIZED (SELECT v, count(*) AS d FROM e GROUP BY v),
+high AS MATERIALIZED (SELECT v FROM hdeg WHERE d > 10),
+hn AS MATERIALIZED (SELECT e.u, e.v FROM e JOIN high USING (v)),
+sig AS MATERIALIZED (
+  SELECT u, md5(string_agg(v, '|' ORDER BY v)) AS sig, count(*) AS nh
+  FROM hn GROUP BY u),
+grp AS MATERIALIZED (
+  SELECT sig, count(*) AS ns, min(nh) AS nh FROM sig GROUP BY sig),
+win AS MATERIALIZED (SELECT sig FROM grp WHERE nh * ns > nh + ns),
+comp_of AS MATERIALIZED (
+  SELECT s.u, 'C_' || s.sig AS comp FROM sig s JOIN win USING (sig)),
+removal AS MATERIALIZED (
+  SELECT c.u, h.v FROM comp_of c JOIN hn h ON h.u = c.u),
+kept AS (SELECT e.u, e.v FROM e
+         LEFT JOIN removal r ON r.u = e.u AND r.v = e.v
+         WHERE r.u IS NULL),
+to_comp AS (SELECT DISTINCT u, comp AS v FROM comp_of),
+from_comp AS (SELECT DISTINCT c.comp AS u, h.v
+              FROM comp_of c JOIN hn h ON h.u = c.u)
+SELECT u AS src, v AS dst FROM kept
+UNION ALL SELECT u, v FROM to_comp
+UNION ALL SELECT u, v FROM from_comp
+ORDER BY src, dst
+"""
+
+
+QUERIES.update({
+    "dedensify": (q_dedensify, SQL_DEDENSIFY),
+})
