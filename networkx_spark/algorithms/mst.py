@@ -192,3 +192,15 @@ def maximal_matching(g: Graph, max_rounds: int = 200) -> DataFrame:
         raise RuntimeError("maximal_matching did not converge")
     finally:
         runner.close()
+
+
+def min_vertex_cover_approx(g: Graph, max_rounds: int = 200) -> DataFrame:
+    """(id): a ≤2-approximate minimum vertex cover — both endpoints of a
+    maximal matching (the textbook Gavril/Yannakakis bound the reference
+    ships as ``approximation/vertex_cover.py:34``,
+    ``min_weighted_vertex_cover`` with unit weights).  Rides the
+    distributed local-dominance matching; one extra projection."""
+    m = maximal_matching(g, max_rounds=max_rounds)
+    return (m.select(F.col(SRC).alias(ID))
+            .unionByName(m.select(F.col(DST).alias(ID)))
+            .distinct())

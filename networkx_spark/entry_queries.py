@@ -3187,3 +3187,67 @@ ORDER BY src, dst
 QUERIES.update({
     "dedensify": (q_dedensify, SQL_DEDENSIFY),
 })
+
+
+# ---------------------------------------------- round 4: sessionization
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization of the events log (30-min gap): per-user
+    window, deterministic (ts, event_id) ordering — the shuffle key is
+    user_id, never a global window."""
+    from networkx_spark.pipeline.sessions import sessionize
+    return sessionize(load(spark, sf_dir, "events"), gap_minutes=30)
+
+
+SQL_SESSIONIZE = """
+WITH s AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS nw
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id,
+       CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no,
+       CAST(user_id AS VARCHAR) || ':' ||
+       CAST(CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS VARCHAR)
+       AS session_id
+FROM s
+"""
+
+
+def q_session_stats(spark, sf_dir):
+    """Per-session rollup (count, span, duration) — the session-quality
+    filter input."""
+    from networkx_spark.pipeline.sessions import session_stats
+    st = session_stats(load(spark, sf_dir, "events"), gap_minutes=30)
+    # timestamps go out as epoch seconds: naive-vs-zoned datetime objects
+    # hash differently across engines even when equal
+    return st.select("session_id", "user_id", "n_events",
+                     F.col("started").cast("timestamp").cast("long")
+                     .alias("started_sec"),
+                     F.col("ended").cast("timestamp").cast("long")
+                     .alias("ended_sec"),
+                     "duration_sec")
+
+
+SQL_SESSION_STATS = f"""
+WITH sess AS MATERIALIZED ({SQL_SESSIONIZE.strip()}),
+j AS (SELECT e.ts, s.session_id, s.user_id
+      FROM events e JOIN sess s ON s.event_id = e.event_id)
+SELECT session_id, CAST(min(user_id) AS BIGINT) AS user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS started_sec,
+       CAST(floor(epoch(max(ts))) AS BIGINT) AS ended_sec,
+       CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+FROM j GROUP BY session_id
+"""
+
+
+QUERIES.update({
+    "sessionize": (q_sessionize, SQL_SESSIONIZE),
+    "session_stats": (q_session_stats, SQL_SESSION_STATS),
+})

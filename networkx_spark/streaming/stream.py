@@ -144,3 +144,22 @@ def run_collect(stream_df: DataFrame, checkpoint: str) -> list:
     q.processAllAvailable()
     q.stop()
     return rows
+
+
+def streaming_session_counts(spark, path: str, gap: str = "30 minutes",
+                             watermark: str = "1 hour") -> DataFrame:
+    """Per-user session event counts over a file stream using Spark's
+    native ``session_window`` (gap-based merge, watermark-bounded state)
+    — the streaming twin of ``pipeline.sessions.sessionize``; in batch
+    mode the same expression computes the same sessions, which is what
+    the pytest cross-checks."""
+    ev = (spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+          .parquet(path))
+    return (ev.withWatermark("ts", watermark)
+            .groupBy(F.session_window("ts", gap), F.col("user_id"))
+            .agg(F.count("*").alias("n_events"))
+            .select(F.col("session_window.start").alias("started"),
+                    F.col("session_window.end").alias("ended"),
+                    "user_id", "n_events"))
