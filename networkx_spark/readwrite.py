@@ -686,3 +686,95 @@ def read_pajek(spark: SparkSession, path: str) -> Graph:
         verts = verts.limit(0)
     return Graph.from_edges(e, directed=directed, weight="weight",
                             vertices=verts, combine="sum")
+
+
+# ----------------------------------------------------------- graph6
+
+def _g6_n(n: int) -> bytes:
+    """N(n) size header (reference ``readwrite/graph6.py:232`` ``n_to_data``)."""
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    if n <= 62:
+        return bytes([n + 63])
+    if n <= 258047:
+        return bytes([126, (n >> 12 & 63) + 63, (n >> 6 & 63) + 63,
+                      (n & 63) + 63])
+    if n <= 68719476735:
+        return bytes([126, 126] + [((n >> s) & 63) + 63
+                                   for s in (30, 24, 18, 12, 6, 0)])
+    raise ValueError("graph6 supports n < 2^36")
+
+
+def to_graph6_bytes(g: Graph, cap: int = 100_000) -> bytes:
+    """graph6 encoding (``readwrite/graph6.py:49`` ``to_graph6_bytes``):
+    N(n) header + the upper triangle packed column-major, 6 bits/char,
+    +63.  Vertices are relabeled to 0..n-1 by sort order like the
+    reference's ``sorted(G)``; undirected, self-loops rejected like the
+    reference.  A graph6 string is a driver-side artifact (the format
+    itself is O(n²) bits), so this is a capped collector; the distributed
+    interchange format remains the edge table."""
+    from networkx_spark.convert import _guard
+    if g.directed:
+        raise ValueError("graph6 encodes undirected graphs")
+    _guard(g, cap)
+    verts = [r[ID] for r in g.vertices().orderBy(ID).collect()]
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    pairs = set()
+    for r in g.edges.select(SRC, DST).collect():
+        i, j = idx[r[SRC]], idx[r[DST]]
+        if i == j:
+            raise ValueError("graph6 does not represent self-loops")
+        pairs.add((min(i, j), max(i, j)))
+    bits = []
+    for j in range(1, n):
+        for i in range(j):
+            bits.append(1 if (i, j) in pairs else 0)
+    while len(bits) % 6:
+        bits.append(0)
+    data = bytes(sum(b << (5 - k) for k, b in enumerate(bits[x:x + 6])) + 63
+                 for x in range(0, len(bits), 6))
+    return b">>graph6<<" + _g6_n(n) + data + b"\n"
+
+
+def from_graph6_bytes(spark: SparkSession, raw: bytes) -> Graph:
+    """Decode graph6 (``readwrite/graph6.py:112`` ``from_graph6_bytes``)
+    into an engine Graph with vertices 0..n-1."""
+    s = raw.strip()
+    if s.startswith(b">>graph6<<"):
+        s = s[10:]
+    if s.startswith(b":"):
+        raise ValueError("sparse6 input: use from_sparse6_bytes")
+    data = [c - 63 for c in s]
+    if any(c < 0 or c > 63 for c in data):
+        raise ValueError("each input character must be in range(63, 127)")
+    if data[0] == 63:
+        if data[1] == 63:
+            n = 0
+            for c in data[2:8]:
+                n = (n << 6) | c
+            data = data[8:]
+        else:
+            n = (data[1] << 12) | (data[2] << 6) | data[3]
+            data = data[4:]
+    else:
+        n, data = data[0], data[1:]
+    nbits = n * (n - 1) // 2
+    bits = []
+    for c in data:
+        bits.extend(((c >> (5 - k)) & 1) for k in range(6))
+    if len(bits) < nbits:
+        raise ValueError("graph6 data too short")
+    edges, b = [], 0
+    for j in range(1, n):
+        for i in range(j):
+            if bits[b]:
+                edges.append((i, j))
+            b += 1
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    g = Graph.from_edges(e, directed=False)
+    if n:
+        g = g.add_vertices(spark.range(n).select(F.col("id")))
+    return g
