@@ -3251,3 +3251,77 @@ QUERIES.update({
     "sessionize": (q_sessionize, SQL_SESSIONIZE),
     "session_stats": (q_session_stats, SQL_SESSION_STATS),
 })
+
+
+# ------------------------------------------------ round 4: cut metrics
+
+def q_cut_metrics(spark, sf_dir):
+    """All cut-quality metrics for the even/odd vertex split of the
+    sparse order-customer graph, plus (coverage, performance) of the
+    parity partition — one row, eight scalars, each a couple of
+    broadcast semi-joins + sums."""
+    from networkx_spark.algorithms.cuts import (
+        conductance, cut_size, edge_expansion, normalized_cut_size,
+        partition_quality, volume)
+    g = _bridge_graph(spark, sf_dir)
+    S = g.vertices().filter(F.col("id") % 2 == 0)
+    T = g.vertices().filter(F.col("id") % 2 == 1)
+    part = g.vertices().select("id", (F.col("id") % 2).alias("community"))
+    cov, perf = partition_quality(g, part)
+    row = [(round(cut_size(g, S), 6), round(volume(g, S), 6),
+            round(volume(g, T), 6), round(normalized_cut_size(g, S), 6),
+            round(conductance(g, S), 6), round(edge_expansion(g, S), 6),
+            round(cov, 6), round(perf, 6))]
+    return spark.createDataFrame(
+        row, "cut_size double, vol_s double, vol_t double, ncut double, "
+             "conductance double, expansion double, coverage double, "
+             "performance double")
+
+
+SQL_CUT_METRICS = f"""
+WITH e AS MATERIALIZED ({BRIDGE_EDGES_SQL}),
+sym AS MATERIALIZED (SELECT u AS id, v AS nbr FROM e
+                     UNION ALL SELECT v AS id, u AS nbr FROM e),
+verts AS MATERIALIZED (SELECT DISTINCT id FROM sym),
+n AS (SELECT count(*) AS n FROM verts),
+m AS (SELECT count(*) AS m FROM e),
+cut AS (SELECT CAST(count(*) AS DOUBLE) AS c FROM e
+        WHERE (u % 2) <> (v % 2)),
+vols AS (SELECT CAST(sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+                AS vs,
+                CAST(sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                AS vt
+         FROM sym),
+ns AS (SELECT CAST(sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+              AS cs,
+              CAST(sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+              AS ct
+       FROM verts),
+intra AS (SELECT count(*) AS i FROM e WHERE (u % 2) = (v % 2)),
+pairs AS (SELECT CAST(cs * (cs - 1) / 2 + ct * (ct - 1) / 2 AS DOUBLE)
+                 AS ip,
+                 (SELECT CAST(n * (n - 1) / 2 AS DOUBLE) FROM n) AS tp
+          FROM ns)
+SELECT round((SELECT c FROM cut), 6) AS cut_size,
+       round((SELECT vs FROM vols), 6) AS vol_s,
+       round((SELECT vt FROM vols), 6) AS vol_t,
+       round((SELECT c FROM cut) * (1 / (SELECT vs FROM vols)
+                                    + 1 / (SELECT vt FROM vols)), 6) AS ncut,
+       round((SELECT c FROM cut)
+             / least((SELECT vs FROM vols), (SELECT vt FROM vols)), 6)
+           AS conductance,
+       round((SELECT c FROM cut)
+             / least((SELECT cs FROM ns), (SELECT ct FROM ns)), 6)
+           AS expansion,
+       round((SELECT i FROM intra) / (SELECT CAST(m AS DOUBLE) FROM m), 6)
+           AS coverage,
+       round(((SELECT i FROM intra)
+              + ((SELECT tp FROM pairs) - (SELECT ip FROM pairs)
+                 - ((SELECT m FROM m) - (SELECT i FROM intra))))
+             / (SELECT tp FROM pairs), 6) AS performance
+"""
+
+
+QUERIES.update({
+    "cut_metrics": (q_cut_metrics, SQL_CUT_METRICS),
+})
