@@ -3325,3 +3325,40 @@ SELECT round((SELECT c FROM cut), 6) AS cut_size,
 QUERIES.update({
     "cut_metrics": (q_cut_metrics, SQL_CUT_METRICS),
 })
+
+
+# --------------------------------------------- round 4: anchor text
+
+def q_anchor_text(spark, sf_dir):
+    """Anchor-text extraction over 500 synthesized pages (the retrieval
+    label signal: what the web calls the target page), aggregated per
+    target; the oracle re-derives every anchor with a regex — the
+    synthesized corpus writes plain ``<a href="...">text</a>`` anchors,
+    so HTML-parser and regex agree byte-for-byte (same posture as the
+    ``web_extraction`` row)."""
+    from networkx_spark.extract import anchor_text_per_target
+    from networkx_spark.generators import synthesize_pages
+    return anchor_text_per_target(synthesize_pages(spark, 500, seed=42))
+
+
+SQL_ANCHOR_TEXT = f"""
+WITH p AS (SELECT url, html FROM read_parquet('{GOLDEN_DIR}/web_pages_500.parquet')),
+l AS (SELECT url AS src,
+             unnest(regexp_extract_all(html,
+                    '<a href="[^"]*">[^<]*</a>')) AS m
+      FROM p),
+a AS (SELECT DISTINCT src,
+             regexp_extract(m, '<a href="([^"]*)"', 1) AS dst,
+             regexp_extract(m, '>([^<]*)</a>', 1) AS anchor
+      FROM l),
+f AS (SELECT src, dst, trim(regexp_replace(anchor, '\\s+', ' ', 'g')) AS anchor
+      FROM a WHERE dst <> src)
+SELECT dst, CAST(count(*) AS BIGINT) AS n_anchors,
+       string_agg(DISTINCT anchor, '|' ORDER BY anchor) AS anchor_texts
+FROM f GROUP BY dst
+"""
+
+
+QUERIES.update({
+    "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
+})

@@ -108,3 +108,74 @@ def texts_from_pages(pages) -> "pyspark.sql.DataFrame":  # noqa: F821
 
     return (pages.select("url", F.col("html").cast("binary").alias("html"))
             .mapInPandas(batches, schema="url string, extracted_text string"))
+
+
+class _AnchorParser(HTMLParser):
+    """Collects (absolute href, visible anchor text) pairs — the anchor
+    text signal (what the web says about the TARGET page), the classic
+    relevance/label source for retrieval training corpora."""
+
+    def __init__(self, base_url: str):
+        super().__init__(convert_charrefs=True)
+        self.base = base_url
+        self.anchors: list[tuple[str, list[str]]] = []
+        self._open: list[str] | None = None
+        self._href: str | None = None
+
+    def handle_starttag(self, tag, attrs):
+        if tag == "a":
+            href = dict(attrs).get("href")
+            if href:
+                self._href = urljoin(self.base, href)
+                self._open = []
+
+    def handle_endtag(self, tag):
+        if tag == "a" and self._open is not None:
+            self.anchors.append((self._href, self._open))
+            self._open, self._href = None, None
+
+    def handle_data(self, data):
+        if self._open is not None:
+            self._open.append(data)
+
+
+def extract_anchors(html_bytes: bytes, base_url: str) -> list[tuple[str, str]]:
+    """[(absolute href, whitespace-normalized anchor text)], document
+    order."""
+    p = _AnchorParser(base_url)
+    p.feed(html_bytes.decode("utf-8", errors="replace"))
+    p.close()
+    return [(href, " ".join(" ".join(chunks).split()))
+            for href, chunks in p.anchors]
+
+
+def anchors_from_pages(pages) -> "pyspark.sql.DataFrame":  # noqa: F821
+    """pages → (src, dst, anchor): one row per distinct anchor
+    occurrence, self-links dropped — the edge table with its text label,
+    feeding anchor-text aggregation per target page."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            srcs, dsts, texts = [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for href, text in extract_anchors(bytes(html), url):
+                    if href != url:
+                        srcs.append(url)
+                        dsts.append(href)
+                        texts.append(text)
+            yield pd.DataFrame({"src": srcs, "dst": dsts, "anchor": texts})
+
+    return (pages.select("url", F.col("html").cast("binary").alias("html"))
+            .mapInPandas(batches, schema="src string, dst string, anchor string")
+            .distinct())
+
+
+def anchor_text_per_target(pages) -> "pyspark.sql.DataFrame":  # noqa: F821
+    """(dst, n_anchors, anchor_texts): what the web calls each target —
+    distinct anchor strings aggregated per target URL, sorted for
+    determinism."""
+    a = anchors_from_pages(pages)
+    return (a.groupBy("dst")
+            .agg(F.count("*").alias("n_anchors"),
+                 F.array_join(F.array_sort(F.collect_set("anchor")), "|")
+                 .alias("anchor_texts")))

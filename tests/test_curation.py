@@ -85,3 +85,13 @@ def test_redact_pii(spark):
     assert out[1].redacted_fp == hashlib.md5(b"no pii here").hexdigest()
     assert out[0].redacted_fp == hashlib.md5(
         b"mail <EMAIL> or call <PHONE> now").hexdigest()
+
+
+def test_extract_anchors_nested_and_relative(spark):
+    from networkx_spark.extract import extract_anchors
+    html = (b'<html><body><a href="/a">go  here</a>'
+            b'<a href="http://x.com/b"><b>bold</b> link</a>'
+            b'<a>no href</a></body></html>')
+    got = extract_anchors(html, "http://base.org/p")
+    assert got == [("http://base.org/a", "go here"),
+                   ("http://x.com/b", "bold link")]
