@@ -151,3 +151,61 @@ def preferential_attachment(g: Graph, pairs: DataFrame) -> DataFrame:
     dv = deg.select(F.col(ID).alias(V), F.col("degree").alias("_dv"))
     return (p.join(du, U).join(dv, V)
             .select(U, V, (F.col("_du") * F.col("_dv")).cast("double").alias("score")))
+
+
+def cn_soundarajan_hopcroft(g: Graph, communities: DataFrame,
+                            pairs: Optional[DataFrame] = None) -> DataFrame:
+    """(u, v, score): common neighbors + a bonus per common neighbor in
+    the SAME community as both endpoints — reference
+    ``link_prediction.py:263`` (``cn_soundarajan_hopcroft``).
+    ``communities`` is (id, community); score = |CN| + Σ_{w∈CN} f(w)
+    where f(w) = 1 iff community(u) == community(v) == community(w)."""
+    _require_undirected(g, "cn_soundarajan_hopcroft")
+    adj = _adj(g)
+    p = _pairs_or_candidates(g, pairs)
+    com = communities.select(
+        F.col(communities.columns[0]).alias("_id"),
+        F.col(communities.columns[1]).alias("_c"))
+    cu = com.select(F.col("_id").alias(U), F.col("_c").alias("_cu"))
+    cv = com.select(F.col("_id").alias(V), F.col("_c").alias("_cv"))
+    cw = com.select(F.col("_id").alias(W), F.col("_c").alias("_cw"))
+    cn = _common_neighbors(adj, p)
+    scored = (cn.join(cu, U).join(cv, V).join(cw, W)
+              .groupBy(U, V)
+              .agg((F.count("*")
+                    + F.sum(((F.col("_cu") == F.col("_cv"))
+                             & (F.col("_cw") == F.col("_cu"))).cast("long")))
+                   .alias("score")))
+    return (p.join(scored, [U, V], "left")
+            .select(U, V, F.coalesce("score", F.lit(0)).alias("score")))
+
+
+def within_inter_cluster(g: Graph, communities: DataFrame, delta: float = 0.001,
+                         pairs: Optional[DataFrame] = None) -> DataFrame:
+    """(u, v, score): within-cluster common neighbors over inter-cluster
+    ones — reference ``link_prediction.py:433`` (``within_inter_cluster``;
+    score = |W| / (|CN − W| + δ) when community(u) == community(v), else
+    0; the reference raises for δ ≤ 0)."""
+    _require_undirected(g, "within_inter_cluster")
+    if delta <= 0:
+        raise ValueError("Delta must be greater than zero")
+    adj = _adj(g)
+    p = _pairs_or_candidates(g, pairs)
+    com = communities.select(
+        F.col(communities.columns[0]).alias("_id"),
+        F.col(communities.columns[1]).alias("_c"))
+    cu = com.select(F.col("_id").alias(U), F.col("_c").alias("_cu"))
+    cv = com.select(F.col("_id").alias(V), F.col("_c").alias("_cv"))
+    cw = com.select(F.col("_id").alias(W), F.col("_c").alias("_cw"))
+    cn = _common_neighbors(adj, p)
+    counts = (cn.join(cu, U).join(cv, V).join(cw, W)
+              .groupBy(U, V, "_cu", "_cv")
+              .agg(F.sum((F.col("_cw") == F.col("_cu")).cast("long")).alias("_win"),
+                   F.count("*").alias("_cn")))
+    scored = counts.select(
+        U, V,
+        F.when(F.col("_cu") != F.col("_cv"), F.lit(0.0))
+         .otherwise(F.round(F.col("_win") / (F.col("_cn") - F.col("_win")
+                                             + F.lit(delta)), 6)).alias("score"))
+    return (p.join(scored, [U, V], "left")
+            .select(U, V, F.coalesce("score", F.lit(0.0)).alias("score")))

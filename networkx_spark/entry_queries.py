@@ -3362,3 +3362,37 @@ FROM f GROUP BY dst
 QUERIES.update({
     "anchor_text": (q_anchor_text, SQL_ANCHOR_TEXT),
 })
+
+
+# --------------------------- round 4: community-aware link prediction
+
+def q_cn_soundarajan_hopcroft(spark, sf_dir):
+    """Soundarajan-Hopcroft community-bonus common neighbors over the
+    wedge-closure candidates of the sparse order-customer graph, with
+    parity communities (id % 2) so the bonus genuinely fires."""
+    from networkx_spark.algorithms.link_prediction import cn_soundarajan_hopcroft
+    g = _bridge_graph(spark, sf_dir)
+    com = g.vertices().select("id", (F.col("id") % 2).alias("community"))
+    return cn_soundarajan_hopcroft(g, com)
+
+
+SQL_CN_SH = f"""
+WITH e AS MATERIALIZED ({BRIDGE_EDGES_SQL}),
+adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e
+                     UNION ALL SELECT v AS a, u AS b FROM e),
+wedge AS MATERIALIZED (
+    SELECT l.a AS w, l.b AS u, r.b AS v
+    FROM adj l JOIN adj r ON l.a = r.a AND l.b < r.b),
+cand AS (SELECT w, u, v FROM wedge
+         WHERE NOT EXISTS (SELECT 1 FROM e
+                           WHERE e.u = wedge.u AND e.v = wedge.v))
+SELECT u, v,
+       CAST(count(*) + sum(CASE WHEN u % 2 = v % 2 AND w % 2 = u % 2
+                                THEN 1 ELSE 0 END) AS BIGINT) AS score
+FROM cand GROUP BY u, v
+"""
+
+
+QUERIES.update({
+    "cn_soundarajan_hopcroft": (q_cn_soundarajan_hopcroft, SQL_CN_SH),
+})

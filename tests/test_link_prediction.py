@@ -93,3 +93,49 @@ def test_directed_raises(spark):
     g = Graph.from_edge_list(spark, [(0, 1), (1, 2)], directed=True)
     with pytest.raises(ValueError, match="directed"):
         jaccard_coefficient(g)
+
+
+def test_cn_soundarajan_hopcroft_matches_reference(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.link_prediction import cn_soundarajan_hopcroft
+    from networkx_spark.graph import Graph
+    nxg = nx.karate_club_graph()
+    for v in nxg:
+        nxg.nodes[v]["community"] = 0 if v < 17 else 1
+    g = Graph.from_edges(
+        spark.createDataFrame(list(nxg.edges()), "src long, dst long"),
+        directed=False)
+    com = spark.createDataFrame([(v, 0 if v < 17 else 1) for v in nxg],
+                                "id long, community int")
+    pairs = [(0, 33), (2, 8), (5, 16), (1, 12)]
+    pdf = spark.createDataFrame(pairs, "u long, v long")
+    got = {(r.u, r.v): r.score
+           for r in cn_soundarajan_hopcroft(g, com, pdf).collect()}
+    want = {(u, v): s for u, v, s in
+            nx.cn_soundarajan_hopcroft(nxg, pairs, community="community")}
+    assert got == want
+
+
+def test_within_inter_cluster_matches_reference(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.link_prediction import within_inter_cluster
+    from networkx_spark.graph import Graph
+    import pytest as _pt
+    nxg = nx.karate_club_graph()
+    for v in nxg:
+        nxg.nodes[v]["community"] = 0 if v < 17 else 1
+    g = Graph.from_edges(
+        spark.createDataFrame(list(nxg.edges()), "src long, dst long"),
+        directed=False)
+    com = spark.createDataFrame([(v, 0 if v < 17 else 1) for v in nxg],
+                                "id long, community int")
+    pairs = [(0, 7), (2, 8), (25, 31), (0, 33)]
+    pdf = spark.createDataFrame(pairs, "u long, v long")
+    got = {(r.u, r.v): r.score
+           for r in within_inter_cluster(g, com, pairs=pdf).collect()}
+    want = {(u, v): s for u, v, s in
+            nx.within_inter_cluster(nxg, pairs, community="community")}
+    for k in want:
+        assert got[k] == _pt.approx(want[k], abs=1e-6)
+    with _pt.raises(ValueError):
+        within_inter_cluster(g, com, delta=0.0, pairs=pdf)
