@@ -83,3 +83,24 @@ def dedensify(g: Graph, threshold: int) -> tuple[DataFrame, DataFrame]:
     comps = (winners.select(F.concat(F.lit("C_"), F.col("sig"))
                             .alias("compressor"), "n_sources", "n_hubs"))
     return (out.select(F.col("u").alias(SRC), F.col("v").alias(DST)), comps)
+
+
+def moral_graph(g: Graph) -> Graph:
+    """Moralized graph of a directed graph — reference
+    ``networkx/algorithms/moral.py:26`` (``moral_graph``): the undirected
+    skeleton plus an edge between every pair of nodes sharing a child
+    ("marrying" co-parents).  One self-join of the edge table on the
+    child; Σ in-deg² wedge work, the triangle shuffle class."""
+    if not g.directed:
+        raise ValueError("moral_graph is defined for directed graphs")
+    e = g.edges.select(SRC, DST)
+    marry = (e.alias("l").join(e.alias("r"),
+                               (F.col(f"l.{DST}") == F.col(f"r.{DST}"))
+                               & (F.col(f"l.{SRC}") < F.col(f"r.{SRC}")))
+             .select(F.col(f"l.{SRC}").alias(SRC),
+                     F.col(f"r.{SRC}").alias(DST)))
+    und = (e.unionByName(marry)
+           .select(F.least(SRC, DST).alias(SRC),
+                   F.greatest(SRC, DST).alias(DST))
+           .distinct())
+    return Graph.from_edges(und, directed=False)

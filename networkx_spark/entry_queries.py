@@ -3396,3 +3396,34 @@ FROM cand GROUP BY u, v
 QUERIES.update({
     "cn_soundarajan_hopcroft": (q_cn_soundarajan_hopcroft, SQL_CN_SH),
 })
+
+
+# ------------------------------------------------- round 4: moral graph
+
+def q_moral_graph(spark, sf_dir):
+    """Moralization of the order→customer DAG-ish fixture: undirected
+    skeleton + married co-parents via one self-join on the child."""
+    from networkx_spark.algorithms.summarization import moral_graph
+    from networkx_spark.graph import Graph
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 31 == 0)
+    e = (o.select((F.col("o_orderkey") % 331).alias("src"),
+                  (F.col("o_custkey") % 127 + 331).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).distinct())
+    return (moral_graph(Graph.from_edges(e, directed=True))
+            .edges.select("src", "dst"))
+
+
+SQL_MORAL_GRAPH = """
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT (o_orderkey % 331) AS src, (o_custkey % 127 + 331) AS dst
+  FROM orders WHERE o_orderkey % 31 = 0 AND (o_orderkey % 331) <> (o_custkey % 127 + 331)),
+marry AS (SELECT l.src AS a, r.src AS b
+          FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src)
+SELECT DISTINCT least(x.a, x.b) AS src, greatest(x.a, x.b) AS dst
+FROM (SELECT src AS a, dst AS b FROM e UNION ALL SELECT a, b FROM marry) x
+"""
+
+
+QUERIES.update({
+    "moral_graph": (q_moral_graph, SQL_MORAL_GRAPH),
+})

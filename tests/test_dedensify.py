@@ -102,3 +102,14 @@ def test_threshold_guard(spark):
     g = _spark_graph(spark, _fixture_directed(), True)
     with pytest.raises(ValueError, match=">= 2"):
         dedensify(g, 1)
+
+
+def test_moral_graph_matches_reference(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.summarization import moral_graph
+    dag = nx.gnr_graph(25, 0.3, seed=9)
+    g = _spark_graph(spark, dag, True)
+    got = {(r.src, r.dst)
+           for r in moral_graph(g).edges.select("src", "dst").collect()}
+    want = {tuple(sorted(e)) for e in nx.moral_graph(dag).edges()}
+    assert got == want
