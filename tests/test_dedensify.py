@@ -113,3 +113,37 @@ def test_moral_graph_matches_reference(spark):
            for r in moral_graph(g).edges.select("src", "dst").collect()}
     want = {tuple(sorted(e)) for e in nx.moral_graph(dag).edges()}
     assert got == want
+
+
+def test_snap_aggregation_matches_reference(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.summarization import snap_aggregation
+    # the reference docstring's caveman-with-attributes example shape
+    nxg = nx.Graph()
+    colors = {}
+    for i in range(12):
+        c = "red" if i % 3 == 0 else ("blue" if i % 3 == 1 else "green")
+        nxg.add_node(i, color=c)
+        colors[i] = c
+    edges = [(0, 1), (1, 2), (3, 4), (4, 5), (6, 7), (7, 8), (9, 10),
+             (10, 11), (0, 3), (6, 9), (2, 5), (8, 11)]
+    nxg.add_edges_from(edges)
+    g = _spark_graph(spark, nxg, False)
+    attrs = spark.createDataFrame([(i, colors[i]) for i in range(12)],
+                                  "id long, color string")
+    membership, sedges = snap_aggregation(g, attrs)
+    ours = {}
+    for r in membership.collect():
+        ours.setdefault(r.supernode, set()).add(r.id)
+    ref = nx.snap_aggregation(nxg, node_attributes=("color",))
+    theirs = [set(d["group"]) for _, d in ref.nodes(data=True)]
+    assert (frozenset(map(frozenset, ours.values()))
+            == frozenset(map(frozenset, theirs)))
+    # superedges agree after relabeling groups by min member
+    ref_edges = set()
+    for a, b in ref.edges():
+        ga = min(ref.nodes[a]["group"])
+        gb = min(ref.nodes[b]["group"])
+        ref_edges.add(tuple(sorted((ga, gb))))
+    got_edges = {(r.u, r.v) for r in sedges.collect()}
+    assert got_edges == ref_edges
