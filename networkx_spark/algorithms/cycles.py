@@ -115,3 +115,42 @@ def has_cycle(g: Graph) -> bool:
          .filter(F.col("a") != F.col("b")).distinct().count())
     n = g.number_of_vertices()
     return m > n - number_connected_components(g)
+
+
+def all_simple_paths(g: Graph, source, target, cutoff: int) -> DataFrame:
+    """(path array<id>) — every simple path from ``source`` to ``target``
+    of at most ``cutoff`` edges; reference
+    ``networkx/algorithms/simple_paths.py:68`` (``all_simple_paths``),
+    which DFS-generates lazily.  The distributed form expands ALL partial
+    paths one hop per superstep (frontier join + ``array_contains``
+    simplicity filter), so wall time is ``cutoff`` joins regardless of how
+    many paths exist; the result-set size is the caller's responsibility —
+    ``cutoff`` is required here precisely because the unbounded count is
+    exponential (the reference's default cutoff n−1 is the anti-scale
+    path)."""
+    if cutoff < 1:
+        raise ValueError("cutoff must be >= 1")
+    spark = g.edges.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    e = g.edges.select(SRC, DST) if g.directed else g.symmetrized().select(SRC, DST)
+    adj = (e.filter(F.col(SRC) != F.col(DST)).distinct()
+           .withColumnRenamed(SRC, "_cur").repartition(n_part, "_cur").cache())
+    id_t = g.edges.schema[SRC].dataType
+    try:
+        frontier = spark.createDataFrame([(source,)], f"x {id_t.simpleString()}") \
+            .select(F.array("x").alias("path"), F.col("x").alias("_cur"))
+        done = frontier.filter(F.lit(False)).select("path")
+        for _ in range(cutoff):
+            step = (frontier.join(adj, "_cur")
+                    .filter(~F.array_contains("path", F.col(DST)))
+                    .select(F.concat("path", F.array(DST)).alias("path"),
+                            F.col(DST).alias("_cur")))
+            step = step.localCheckpoint(eager=True)
+            done = done.unionByName(
+                step.filter(F.col("_cur") == F.lit(target)).select("path"))
+            frontier = step.filter(F.col("_cur") != F.lit(target))
+            if frontier.isEmpty():
+                break
+        return done
+    finally:
+        adj.unpersist()

@@ -3480,3 +3480,39 @@ SQL_SNAP = _snap_sql()
 QUERIES.update({
     "snap_aggregation": (q_snap_aggregation, SQL_SNAP),
 })
+
+
+# ------------------------------------------ round 4: all simple paths
+
+def q_simple_paths(spark, sf_dir):
+    """All ≤3-hop simple paths 0→1 on the dense derived undirected graph
+    (1,333 paths at sf0.01), each path serialized src>…>dst; one frontier
+    join per hop regardless of path count."""
+    from networkx_spark.algorithms.cycles import all_simple_paths
+    g = derived_graph(spark, sf_dir, directed=False)
+    p = all_simple_paths(g, 0, 1, cutoff=3)
+    return p.select(F.array_join(F.transform("path",
+                                             lambda x: x.cast("string")), ">")
+                    .alias("path"))
+
+
+SQL_SIMPLE_PATHS = f"""
+WITH RECURSIVE
+ue AS MATERIALIZED ({UEDGES_SQL}),
+d AS MATERIALIZED (SELECT src AS s, dst AS t FROM ue
+                   UNION ALL SELECT dst, src FROM ue),
+walk(cur, path, n) AS (
+  SELECT 0, CAST(0 AS VARCHAR), 1
+  UNION ALL
+  SELECT d.t, walk.path || '>' || CAST(d.t AS VARCHAR), walk.n + 1
+  FROM walk JOIN d ON d.s = walk.cur
+  WHERE walk.cur <> 1 AND walk.n <= 3
+    AND ('>' || walk.path || '>') NOT LIKE ('%>' || CAST(d.t AS VARCHAR) || '>%')
+)
+SELECT path FROM walk WHERE cur = 1
+"""
+
+
+QUERIES.update({
+    "simple_paths": (q_simple_paths, SQL_SIMPLE_PATHS),
+})

@@ -86,3 +86,22 @@ def test_has_cycle(spark):
     dag = Graph.from_edges(
         _graph(spark, nx.path_graph(3)).edges, directed=True)
     assert has_cycle(dag) is False
+
+
+def test_all_simple_paths_matches_reference(spark):
+    from networkx_spark.algorithms.cycles import all_simple_paths
+    nxg = nx.karate_club_graph()
+    g = _graph(spark, nxg)
+    got = {tuple(r.path) for r in all_simple_paths(g, 0, 33, 3).collect()}
+    want = {tuple(p) for p in nx.all_simple_paths(nxg, 0, 33, cutoff=3)}
+    assert got == want and len(got) > 5
+
+
+def test_all_simple_paths_directed(spark):
+    from networkx_spark.algorithms.cycles import all_simple_paths
+    dag = nx.DiGraph([(0, 1), (1, 2), (0, 2), (2, 3)])
+    g = Graph.from_edges(
+        spark.createDataFrame(list(dag.edges()), "src long, dst long"),
+        directed=True)
+    got = {tuple(r.path) for r in all_simple_paths(g, 0, 3, 4).collect()}
+    assert got == {(0, 1, 2, 3), (0, 2, 3)}
