@@ -121,3 +121,19 @@ def single_source_shortest_path(g: Graph, source) -> DataFrame:
     from networkx_spark.algorithms.sssp import single_source_dijkstra_path
     return (single_source_dijkstra_path(g, source, weight=False)
             .select(ID, F.col("distance").cast("long").alias("distance"), "path"))
+
+
+def ego_graph(g: Graph, n, radius: int = 1, center: bool = True,
+              undirected: bool = False) -> Graph:
+    """Subgraph induced on the vertices within ``radius`` hops of ``n`` —
+    ``nx.ego_graph`` (``generators/ego.py:10``).  BFS distance table +
+    one induced-subgraph semi-join; ``undirected=True`` ignores edge
+    direction for the reach like the reference."""
+    base = g.to_undirected() if (undirected and g.directed) else g
+    dist = bfs_distances(base, n, max_depth=radius)
+    ball = dist.filter(F.col("distance") <= radius).select(ID)
+    if not center:
+        src_type = g.edges.schema[SRC].dataType.simpleString()
+        seed = str(n) if src_type == "string" else n
+        ball = ball.filter(F.col(ID) != F.lit(seed))
+    return g.subgraph(ball)

@@ -131,3 +131,52 @@ def dag_longest_path_length(g: Graph, weighted: bool = False) -> float:
     unweighted)."""
     d = dag_longest_path_dists(g, weighted=weighted)
     return float(d.agg(F.max("dist")).first()[0] or 0.0)
+
+
+def is_graphical(degrees: DataFrame, col: str | None = None) -> bool:
+    """Erdős–Gallai test: is the degree sequence realizable as a simple
+    undirected graph — ``nx.is_graphical`` (``graphical.py:22``, the
+    ``eg`` method).  Input is a one-column DataFrame (or ``col`` names
+    it).  Distributed form: sort descending with a dense rank, prefix
+    sums via a running-total window, and the n−1 Erdős–Gallai
+    inequalities checked as one aggregation — no driver-side sequence.
+
+    The rank/prefix windows are global-ordered; a degree SEQUENCE check
+    is inherently a total order over one numeric column, the cheapest
+    possible global sort (single bigint column, Tungsten radix sort).
+    Only the k ≤ Durfee-number inequalities (d_k ≥ k, at most √(2m) of
+    them) are checked — the rest are implied — so the tail join is
+    O(√(2m)·n), not O(n²).
+    """
+    from pyspark.sql import Window
+    c = col or degrees.columns[0]
+    d = degrees.select(F.col(c).cast("long").alias("d"))
+    stats = d.agg(F.sum("d").alias("s"), F.count("*").alias("n"),
+                  F.min("d").alias("mn")).first()
+    if (stats["s"] or 0) % 2 == 1:
+        return False
+    if stats["n"] == 0:
+        return True
+    if (stats["mn"] or 0) < 0:
+        return False
+    w = Window.orderBy(F.desc("d"))
+    ranked = (d.withColumn("k", F.row_number().over(w))
+              .withColumn("pre", F.sum("d").over(
+                  w.rowsBetween(Window.unboundedPreceding, 0))))
+    n = int(stats["n"])
+    # Σ_{i<=k} d_i <= k(k-1) + Σ_{i>k} min(d_i, k) for every k
+    dk = (ranked.select(F.col("k").alias("_k"), F.col("d").alias("_dk"),
+                        F.col("pre").alias("_pre"))
+          # Durfee cut: inequalities with d_k < k are implied by k' < k
+          .filter(F.col("_dk") >= F.col("_k")))
+    tail = (dk.alias("a").join(ranked.alias("b"),
+                               F.col("b.k") > F.col("a._k"))
+            .groupBy("a._k", "a._pre")
+            .agg(F.sum(F.least(F.col("b.d"), F.col("a._k"))).alias("_t")))
+    viol = (tail.filter(F.col("_pre") >
+                        F.col("_k") * (F.col("_k") - 1) + F.col("_t"))
+            .head(1))
+    if viol:
+        return False
+    # k = n (empty tail) inequality: sum <= n(n-1)
+    return (stats["s"] or 0) <= n * (n - 1)

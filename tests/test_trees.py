@@ -69,3 +69,37 @@ def test_empty_graph_raises(spark):
     e = spark.createDataFrame([], "src long, dst long")
     with pytest.raises(ValueError, match="no nodes"):
         is_tree(Graph.from_edges(e, directed=False))
+
+
+def test_is_graphical_matches_reference(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.trees import is_graphical
+    seqs = [
+        [3, 3, 3, 3],            # K4: graphical
+        [4, 3, 2, 1],            # odd sum: not
+        [5, 3, 3, 3, 3, 3],      # graphical
+        [6, 6, 6, 1, 1, 1, 1],   # violates EG: not
+        [0, 0, 0],               # empty graph: graphical
+        list(dict(nx.karate_club_graph().degree()).values()),
+    ]
+    for seq in seqs:
+        df = spark.createDataFrame([(int(x),) for x in seq], "d long")
+        assert is_graphical(df) == nx.is_graphical(seq), seq
+
+
+def test_ego_graph_matches_reference(spark):
+    import networkx as nx
+    from networkx_spark.algorithms.bfs import ego_graph
+    from networkx_spark.graph import Graph
+    nxg = nx.karate_club_graph()
+    g = Graph.from_edges(
+        spark.createDataFrame(list(nxg.edges()), "src long, dst long"),
+        directed=False)
+    for radius, center in [(1, True), (2, True), (1, False)]:
+        eg = ego_graph(g, 5, radius=radius, center=center)
+        ref = nx.ego_graph(nxg, 5, radius=radius, center=center)
+        got_v = {r.id for r in eg.vertices().collect()}
+        assert got_v == set(ref.nodes())
+        got_e = {tuple(sorted((r.src, r.dst)))
+                 for r in eg.edges.select("src", "dst").collect()}
+        assert got_e == {tuple(sorted(e)) for e in ref.edges()}
