@@ -170,3 +170,42 @@ __all__ = [
     "maximal_matching",
     "__version__",
 ]
+
+# round-4 additions (second batch)
+from networkx_spark.algorithms.bridges import (
+    bfs_forest, bridge_labels, bridges, has_bridges,
+    two_edge_connected_components)
+from networkx_spark.algorithms.graph_hashing import (
+    weisfeiler_lehman_graph_hash, weisfeiler_lehman_subgraph_hashes,
+    wl_colors)
+from networkx_spark.algorithms.walks import random_walks
+from networkx_spark.algorithms.bipartite import (
+    projected_graph, projection_weights, weighted_projected_graph)
+from networkx_spark.algorithms.spectral import (
+    algebraic_connectivity, fiedler_vector, spectral_bisection)
+from networkx_spark.algorithms.trees import (
+    dag_longest_path_dists, dag_longest_path_length, is_arborescence,
+    is_branching, is_forest, is_graphical, is_tree)
+from networkx_spark.algorithms.node_classification import (
+    harmonic_function, local_and_global_consistency)
+from networkx_spark.algorithms.summarization import (
+    dedensify, moral_graph, snap_aggregation)
+from networkx_spark.algorithms.euler import (
+    has_eulerian_path, is_eulerian, is_tournament)
+from networkx_spark.algorithms.cycles import (
+    all_simple_paths, cycle_basis, has_cycle)
+from networkx_spark.algorithms.cuts import (
+    conductance, cut_size, edge_expansion, normalized_cut_size,
+    partition_quality, volume)
+from networkx_spark.algorithms.link_prediction import (
+    adamic_adar_index, cn_soundarajan_hopcroft, jaccard_coefficient,
+    preferential_attachment, resource_allocation_index,
+    within_inter_cluster)
+from networkx_spark.algorithms.mst import min_vertex_cover_approx
+from networkx_spark.algorithms.bfs import ego_graph
+from networkx_spark.pipeline.curation import (
+    decontaminate, hash_sample, ngram_vocabulary, redact_pii, word_ngrams)
+from networkx_spark.pipeline.sessions import session_stats, sessionize
+from networkx_spark.extract import (
+    anchor_text_per_target, anchors_from_pages, extract_anchors)
+from networkx_spark.readwrite import from_graph6_bytes, to_graph6_bytes
