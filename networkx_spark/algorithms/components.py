@@ -35,11 +35,16 @@ from networkx_spark.superstep import SuperstepRunner, fixed_plan
 def _hash_min(vertices: DataFrame, adj: DataFrame, max_iter: int,
               checkpoint_dir: Optional[str], checkpoint_interval: int,
               resume: bool, salt_threshold: Optional[int] = None,
-              n_salts: int = 16) -> DataFrame:
+              n_salts: int = 16,
+              runner: Optional[SuperstepRunner] = None) -> DataFrame:
     from networkx_spark.partitioning import (SALT, hot_keys, replicate_state,
                                              salt_rows)
     spark = vertices.sparkSession
-    runner = SuperstepRunner(checkpoint_dir, name="cc_state", interval=checkpoint_interval)
+    if runner is None:
+        # callers may pass their own runner to observe per-superstep
+        # metrics (the scaling protocol does) — same contract as pagerank
+        runner = SuperstepRunner(checkpoint_dir, name="cc_state",
+                                 interval=checkpoint_interval)
     # neighbor pairs both ways so min flows in both directions; cached
     # pre-partitioned on the join key so supersteps shuffle only labels
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
@@ -114,7 +119,8 @@ def connected_components(g: Graph, max_iter: int = 200,
                          checkpoint_interval: int = 1,
                          resume: bool = False,
                          salt_threshold: Optional[int] = None,
-                         n_salts: int = 16) -> DataFrame:
+                         n_salts: int = 16,
+                         runner=None) -> DataFrame:
     """(id, component) — component = min vertex id of the component.
 
     ``salt_threshold`` enables hot-vertex salting (partitioning.py):
@@ -130,7 +136,7 @@ def connected_components(g: Graph, max_iter: int = 200,
                          "use weakly_connected_components")
     return _hash_min(g.vertices(), g.edges, max_iter,
                      checkpoint_dir, checkpoint_interval, resume,
-                     salt_threshold, n_salts)
+                     salt_threshold, n_salts, runner=runner)
 
 
 def weakly_connected_components(g: Graph, max_iter: int = 200,
