@@ -45,11 +45,38 @@ def betweenness_centrality(g: Graph, k: Optional[int] = None,
     ``k`` set → sampled estimate from k hash-chosen sources, rescaled by
     n/k (``betweenness.py:132-137``, ``_rescale`` ``:376-377``).
     """
+    return _batched_brandes(g, k, normalized, seed, max_depth,
+                            edges_mode=False)
+
+
+def edge_betweenness_centrality(g: Graph, k: Optional[int] = None,
+                                normalized: bool = True,
+                                seed: int | None = None,
+                                max_depth: int = 10_000) -> DataFrame:
+    """(src, dst, betweenness) for every edge.
+
+    Reference ``betweenness.py:186`` (``edge_betweenness_centrality``):
+    identical Brandes passes, but the backward step credits each tree edge
+    (v, w) with σ(v)/σ(w)·(1+δ(w)) (``_accumulate_edges`` ``:340-355``)
+    and rescales by 1/(n(n−1)) normalized, else 1/2 undirected
+    (``_rescale_e`` ``:383-404``).  Undirected output is canonicalized
+    ``src <= dst`` (both traversal directions of one edge sum into the
+    single dict slot, as the reference's (v,w)-or-(w,v) lookup does).
+    """
+    return _batched_brandes(g, k, normalized, seed, max_depth,
+                            edges_mode=True)
+
+
+def _batched_brandes(g: Graph, k: Optional[int], normalized: bool,
+                     seed: int | None, max_depth: int,
+                     edges_mode: bool) -> DataFrame:
     spark = g.edges.sparkSession
     vertices = g.vertices().cache()
     n = vertices.count()
     if n == 0:
-        return spark.createDataFrame([], "id string, betweenness double")
+        schema = ("src string, dst string, betweenness double" if edges_mode
+                  else "id string, betweenness double")
+        return spark.createDataFrame([], schema)
 
     # directed: successor adjacency; undirected: both directions
     adj = (g.symmetrized().filter(F.col(SRC) != F.col(DST))
@@ -88,6 +115,7 @@ def betweenness_centrality(g: Graph, k: Optional[int] = None,
 
         # backward accumulation: δ at the deepest level is 0
         acc: list[DataFrame] = []
+        eacc: list[DataFrame] = []
         delta = levels[-1].select("s", ID, F.lit(0.0).alias("delta"))
         for d in range(len(levels) - 2, -1, -1):
             succ = (delta.join(levels[d + 1].withColumnRenamed("sigma", "sigma_w"),
@@ -95,16 +123,30 @@ def betweenness_centrality(g: Graph, k: Optional[int] = None,
                     .select("s", F.col(ID).alias("nbr"),
                             ((F.lit(1.0) + F.col("delta")) / F.col("sigma_w"))
                             .alias("coeff")))
-            contrib = (levels[d].join(adj, ID)
-                       .join(succ, ["s", "nbr"])
-                       .groupBy("s", ID)
-                       .agg(F.sum(F.col("sigma") * F.col("coeff")).alias("_d")))
+            if edges_mode:
+                # materialize the per-tree-edge credits once, then aggregate
+                # them two ways (per-vertex for the δ recursion, per-edge for
+                # the output) without re-running the joins
+                joined = runner.cut(
+                    levels[d].join(adj, ID).join(succ, ["s", "nbr"])
+                    .select("s", ID, "nbr",
+                            (F.col("sigma") * F.col("coeff")).alias("c")))
+                contrib = joined.groupBy("s", ID).agg(F.sum("c").alias("_d"))
+                eacc.append(joined.groupBy(ID, "nbr")
+                            .agg(F.sum("c").alias("_e")))
+            else:
+                contrib = (levels[d].join(adj, ID)
+                           .join(succ, ["s", "nbr"])
+                           .groupBy("s", ID)
+                           .agg(F.sum(F.col("sigma") * F.col("coeff")).alias("_d")))
             delta = runner.cut(
                 levels[d].join(contrib, ["s", ID], "left")
                 .select("s", ID, F.coalesce("_d", F.lit(0.0)).alias("delta")))
             if d >= 1:          # reference skips w == s (``:323``)
                 acc.append(delta)
 
+        if edges_mode:
+            return _finish_edges(g, eacc, n, normalized, k_eff)
         if not acc:
             bc = vertices.select(ID, F.lit(0.0).alias("betweenness"))
         else:
@@ -136,3 +178,43 @@ def betweenness_centrality(g: Graph, k: Optional[int] = None,
         vertices.unpersist()
         adj.unpersist()
         runner.close()
+
+
+def _finish_edges(g: Graph, eacc: list[DataFrame], n: int, normalized: bool,
+                  k_eff: Optional[int]) -> DataFrame:
+    """Union per-level edge credits, canonicalize, rescale (``_rescale_e``
+    ``betweenness.py:383-404``), and left-join onto the full edge list so
+    every edge appears (reference seeds ``dict.fromkeys(G.edges(), 0.0)``)."""
+    edge_list = g.edges.select(SRC, DST).distinct()
+    if not g.directed:
+        edge_list = (edge_list
+                     .select(F.least(SRC, DST).alias(SRC),
+                             F.greatest(SRC, DST).alias(DST)).distinct())
+    if eacc:
+        allc = eacc[0]
+        for a in eacc[1:]:
+            allc = allc.unionByName(a)
+        u, v = F.col(ID), F.col("nbr")
+        if not g.directed:
+            u, v = F.least(ID, "nbr"), F.greatest(ID, "nbr")
+        sums = (allc.select(u.alias(SRC), v.alias(DST), "_e")
+                .groupBy(SRC, DST).agg(F.sum("_e").alias("_e")))
+        eb = edge_list.join(sums, [SRC, DST], "left")
+    else:
+        eb = edge_list.withColumn("_e", F.lit(None).cast("double"))
+    eb = eb.select(SRC, DST, F.coalesce("_e", F.lit(0.0)).alias("betweenness"))
+
+    scale = None
+    if normalized:
+        if n > 1:
+            scale = 1.0 / (n * (n - 1))
+    elif not g.directed:
+        scale = 0.5
+    # NOTE: the reference passes no ``k`` to ``_rescale_e`` (``:244-246``),
+    # so sampled edge estimates deliberately do NOT get the n/k factor —
+    # quirk preserved for parity (k_eff intentionally unused here)
+    del k_eff
+    if scale is not None and scale != 1.0:
+        eb = eb.select(SRC, DST, (F.col("betweenness") * F.lit(scale))
+                       .alias("betweenness"))
+    return eb

@@ -417,6 +417,47 @@ SELECT id::BIGINT AS id, betweenness::DOUBLE AS betweenness FROM (VALUES
 """
 
 
+def q_edge_betweenness(spark, sf_dir):
+    """Exact normalized edge betweenness on Zachary's karate club — checked
+    against values computed by the reference implementation at authoring
+    time (engine-independent oracle, embedded as VALUES)."""
+    from networkx_spark.algorithms.betweenness import edge_betweenness_centrality
+    from networkx_spark.generators import karate_club_graph
+    eb = edge_betweenness_centrality(karate_club_graph(spark), normalized=True)
+    return eb.select(F.col("src").cast("long").alias("src"),
+                     F.col("dst").cast("long").alias("dst"),
+                     F.round("betweenness", 6).alias("betweenness"))
+
+
+# reference nx.edge_betweenness_centrality(nx.karate_club_graph()), rounded 6
+SQL_EDGE_BETWEENNESS = """
+SELECT src::BIGINT AS src, dst::BIGINT AS dst,
+       betweenness::DOUBLE AS betweenness FROM (VALUES
+(0, 1, 0.025253), (0, 2, 0.077788), (0, 3, 0.020499), (0, 4, 0.052288),
+(0, 5, 0.078134), (0, 6, 0.078134), (0, 7, 0.022821), (0, 8, 0.07424),
+(0, 10, 0.052288), (0, 11, 0.058824), (0, 12, 0.046524), (0, 13, 0.042372),
+(0, 17, 0.040124), (0, 19, 0.045937), (0, 21, 0.040124), (0, 31, 0.12726),
+(1, 2, 0.023232), (1, 3, 0.007724), (1, 7, 0.007423), (1, 13, 0.012406),
+(1, 17, 0.0187), (1, 19, 0.014634), (1, 21, 0.0187), (1, 30, 0.032281),
+(2, 3, 0.02243), (2, 7, 0.025214), (2, 8, 0.009176), (2, 9, 0.030804),
+(2, 13, 0.007631), (2, 27, 0.041192), (2, 28, 0.022782), (2, 32, 0.068987),
+(3, 7, 0.003366), (3, 12, 0.012299), (3, 13, 0.014922), (4, 6, 0.004753),
+(4, 10, 0.002971), (5, 6, 0.002971), (5, 10, 0.004753), (5, 16, 0.029412),
+(6, 16, 0.029412), (8, 30, 0.009804), (8, 32, 0.030442), (8, 33, 0.040437),
+(9, 33, 0.029615), (13, 33, 0.067824), (14, 32, 0.024084), (14, 33, 0.03474),
+(15, 32, 0.024084), (15, 33, 0.03474), (18, 32, 0.024084), (18, 33, 0.03474),
+(19, 33, 0.059382), (20, 32, 0.024084), (20, 33, 0.03474),
+(22, 32, 0.024084), (22, 33, 0.03474), (23, 25, 0.019776),
+(23, 27, 0.010537), (23, 29, 0.006655), (23, 32, 0.022341),
+(23, 33, 0.03267), (24, 25, 0.004219), (24, 27, 0.018657),
+(24, 31, 0.040107), (25, 31, 0.042058), (26, 29, 0.004533),
+(26, 33, 0.054291), (27, 33, 0.030477), (28, 31, 0.014854),
+(28, 33, 0.024565), (29, 32, 0.023329), (29, 33, 0.029808),
+(30, 32, 0.017053), (30, 33, 0.026814), (31, 32, 0.041434),
+(31, 33, 0.053394), (32, 33, 0.008225)) AS t(src, dst, betweenness)
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1070,6 +1111,7 @@ QUERIES = {
     "sssp_weighted": (q_sssp_weighted, SQL_SSSP),
     "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
     "betweenness_karate": (q_betweenness, SQL_BETWEENNESS),
+    "edge_betweenness_karate": (q_edge_betweenness, SQL_EDGE_BETWEENNESS),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),

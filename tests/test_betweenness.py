@@ -58,3 +58,41 @@ def test_sampled_mode_bounds(spark):
     # mean absolute error within a loose bound for k=12/34 sources
     mae = sum(abs(est1[str(v)] - b) for v, b in exact.items()) / len(exact)
     assert mae < 0.05
+
+
+def _check_edges(spark, edges, directed, normalized, G=None):
+    from networkx_spark.algorithms.betweenness import edge_betweenness_centrality
+    g = Graph.from_edge_list(spark, edges, directed=directed)
+    rows = edge_betweenness_centrality(g, normalized=normalized).collect()
+    got = {(r["src"], r["dst"]): r["betweenness"] for r in rows}
+    if G is None:
+        G = (nx.DiGraph if directed else nx.Graph)(edges)
+    want = nx.edge_betweenness_centrality(G, normalized=normalized)
+    canon = {}
+    for (u, v), b in want.items():
+        u, v = str(u), str(v)
+        if not directed and u > v:
+            u, v = v, u
+        canon[(u, v)] = b
+    assert set(got) == set(canon)
+    for e, b in canon.items():
+        assert got[e] == pytest.approx(b, abs=1e-9), e
+
+
+def test_edge_karate_normalized(spark):
+    _check_edges(spark, KARATE_EDGES, False, True, G=nx.karate_club_graph())
+
+
+def test_edge_karate_unnormalized(spark):
+    _check_edges(spark, KARATE_EDGES, False, False, G=nx.karate_club_graph())
+
+
+def test_edge_directed(spark):
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 0), (3, 4), (4, 1)]
+    _check_edges(spark, edges, True, True)
+    _check_edges(spark, edges, True, False)
+
+
+def test_edge_disconnected_and_path(spark):
+    _check_edges(spark, [(0, 1), (1, 2), (3, 4)], False, True)
+    _check_edges(spark, [(0, 1), (1, 2), (2, 3)], False, False)
