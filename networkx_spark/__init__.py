@@ -209,3 +209,8 @@ from networkx_spark.pipeline.sessions import session_stats, sessionize
 from networkx_spark.extract import (
     anchor_text_per_target, anchors_from_pages, extract_anchors)
 from networkx_spark.readwrite import from_graph6_bytes, to_graph6_bytes
+
+# round-4 additions (third batch)
+from networkx_spark.algorithms.betweenness import (
+    betweenness_centrality, edge_betweenness_centrality)
+from networkx_spark.algorithms.girvan_newman import girvan_newman

@@ -458,6 +458,31 @@ SELECT src::BIGINT AS src, dst::BIGINT AS dst,
 """
 
 
+def q_girvan_newman(spark, sf_dir):
+    """Girvan–Newman level-1 split of two K4 cliques joined by one bridge —
+    checked against the reference generator's first yield at authoring time
+    (engine-independent oracle, embedded as VALUES)."""
+    from itertools import combinations
+    from networkx_spark.algorithms.girvan_newman import girvan_newman
+    from networkx_spark.graph import Graph
+    edges = ([(a, b) for a, b in combinations(range(4), 2)]
+             + [(a, b) for a, b in combinations(range(4, 8), 2)]
+             + [(3, 4)])
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    [lvl1] = girvan_newman(g, levels=1)
+    return lvl1.select(F.col("id").cast("long").alias("id"),
+                       F.col("component").cast("long").alias("community"))
+
+
+# reference next(nx.community.girvan_newman(G)) on the same fixture,
+# communities keyed by min member id
+SQL_GIRVAN_NEWMAN = """
+SELECT id::BIGINT AS id, community::BIGINT AS community FROM (VALUES
+(0, 0), (1, 0), (2, 0), (3, 0),
+(4, 4), (5, 4), (6, 4), (7, 4)) AS t(id, community)
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1112,6 +1137,7 @@ QUERIES = {
     "assortativity": (q_assortativity, SQL_ASSORTATIVITY),
     "betweenness_karate": (q_betweenness, SQL_BETWEENNESS),
     "edge_betweenness_karate": (q_edge_betweenness, SQL_EDGE_BETWEENNESS),
+    "girvan_newman_2k4": (q_girvan_newman, SQL_GIRVAN_NEWMAN),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),

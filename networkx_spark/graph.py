@@ -156,8 +156,9 @@ class Graph:
         """
         if self.directed:
             return self._edges
+        w = [WEIGHT] if WEIGHT in self._edges.columns else []
         rev = self._edges.filter(F.col(SRC) != F.col(DST)).select(
-            F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST), *w)
         return self._edges.unionByName(rev)
 
     def reverse(self) -> "Graph":
@@ -167,7 +168,9 @@ class Graph:
         """
         if not self.directed:
             return self
-        rev = self._edges.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST), WEIGHT)
+        rev = self._edges.select(
+            F.col(DST).alias(SRC), F.col(SRC).alias(DST),
+            *([WEIGHT] if WEIGHT in self._edges.columns else []))
         ea = self._edge_attrs
         if ea is not None:
             rest = [c for c in ea.columns if c not in (SRC, DST)]
