@@ -214,3 +214,5 @@ from networkx_spark.readwrite import from_graph6_bytes, to_graph6_bytes
 from networkx_spark.algorithms.betweenness import (
     betweenness_centrality, edge_betweenness_centrality)
 from networkx_spark.algorithms.girvan_newman import girvan_newman
+from networkx_spark.algorithms.simrank import (
+    ExceededMaxIterations, simrank_similarity)

@@ -483,6 +483,37 @@ SELECT id::BIGINT AS id, community::BIGINT AS community FROM (VALUES
 """
 
 
+def q_simrank(spark, sf_dir):
+    """SimRank on two triangles joined by a bridge — checked against values
+    computed by the reference recurrence at authoring time
+    (engine-independent oracle, embedded as VALUES)."""
+    from networkx_spark.algorithms.simrank import simrank_similarity
+    from networkx_spark.graph import Graph
+    edges = [(0, 1), (0, 2), (1, 2), (3, 4), (3, 5), (4, 5), (2, 3)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    s = simrank_similarity(g)
+    return s.select(F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"),
+                    F.round("similarity", 6).alias("similarity"))
+
+
+# reference _simrank_similarity_python on the same fixture, rounded 6
+SQL_SIMRANK = """
+SELECT u::BIGINT AS u, v::BIGINT AS v, similarity::DOUBLE AS similarity
+FROM (VALUES
+(0, 0, 1.0), (0, 1, 0.607476), (0, 2, 0.54633), (0, 3, 0.512184),
+(0, 4, 0.422206), (0, 5, 0.422206), (1, 0, 0.607476), (1, 1, 1.0),
+(1, 2, 0.54633), (1, 3, 0.512184), (1, 4, 0.422206), (1, 5, 0.422206),
+(2, 0, 0.54633), (2, 1, 0.54633), (2, 2, 1.0), (2, 3, 0.430351),
+(2, 4, 0.512184), (2, 5, 0.512184), (3, 0, 0.512184), (3, 1, 0.512184),
+(3, 2, 0.430351), (3, 3, 1.0), (3, 4, 0.54633), (3, 5, 0.54633),
+(4, 0, 0.422206), (4, 1, 0.422206), (4, 2, 0.512184), (4, 3, 0.54633),
+(4, 4, 1.0), (4, 5, 0.607476), (5, 0, 0.422206), (5, 1, 0.422206),
+(5, 2, 0.512184), (5, 3, 0.54633), (5, 4, 0.607476), (5, 5, 1.0)
+) AS t(u, v, similarity)
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1138,6 +1169,7 @@ QUERIES = {
     "betweenness_karate": (q_betweenness, SQL_BETWEENNESS),
     "edge_betweenness_karate": (q_edge_betweenness, SQL_EDGE_BETWEENNESS),
     "girvan_newman_2k4": (q_girvan_newman, SQL_GIRVAN_NEWMAN),
+    "simrank_bridge": (q_simrank, SQL_SIMRANK),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
