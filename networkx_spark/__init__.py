@@ -216,3 +216,5 @@ from networkx_spark.algorithms.betweenness import (
 from networkx_spark.algorithms.girvan_newman import girvan_newman
 from networkx_spark.algorithms.simrank import (
     ExceededMaxIterations, simrank_similarity)
+from networkx_spark.algorithms.distance_measures import (
+    closeness_vitality, efficiency, local_efficiency)

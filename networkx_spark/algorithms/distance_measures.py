@@ -23,8 +23,9 @@ from typing import Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from networkx_spark.graph import Graph, ID
+from networkx_spark.graph import Graph, ID, SRC, DST
 from networkx_spark.algorithms.centrality import _incoming_levels
+from networkx_spark.superstep import SuperstepRunner, fixed_plan
 
 
 def eccentricity(g: Graph, sources: Optional[DataFrame] = None,
@@ -139,3 +140,156 @@ def global_efficiency(g: Graph, max_depth: int = 10_000) -> float:
     row = (_pair_distances(g, max_depth)
            .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("inv")).collect()[0])
     return float(row["inv"] or 0.0) / float(denom)
+
+
+def efficiency(g: Graph, u, v, max_depth: int = 10_000) -> float:
+    """1/d(u, v), 0 when unreachable (reference
+    ``efficiency_measures.py:11`` ``efficiency``; undirected only)."""
+    if g.directed:
+        raise ValueError("efficiency not defined for directed graphs "
+                         "(reference raises NetworkXNotImplemented)")
+    from networkx_spark.algorithms.bfs import bfs_distances
+    d = (bfs_distances(g, str(u), max_depth=max_depth)
+         .filter(F.col(ID) == str(v)).collect())
+    return 1.0 / float(d[0]["distance"]) if d and d[0]["distance"] > 0 else 0.0
+
+
+def local_efficiency(g: Graph, max_depth: int = 10_000) -> float:
+    """Mean over vertices v of the global efficiency of the subgraph
+    induced on N(v) (reference ``efficiency_measures.py:130``
+    ``local_efficiency``; undirected only).
+
+    Spark shape: ONE batched BFS over every ego subgraph at once — the
+    state is keyed ``(c, s, id)`` (ego center, BFS source, vertex) and the
+    center-scoped adjacency ``cadj(c, u, w)`` is the triangle wedge join
+    (u, w ∈ N(c) and u—w an edge), so all ego subgraphs advance one level
+    per Spark job.  State is Σ_c |N(c)|² rows — the same d̄² envelope as
+    triangle counting; hub-heavy graphs pay the same wedge cost there.
+    """
+    if g.directed:
+        raise ValueError("local_efficiency not defined for directed graphs "
+                         "(reference raises NetworkXNotImplemented)")
+    spark = g.edges.sparkSession
+    n = g.number_of_vertices()
+    if n == 0:
+        raise ZeroDivisionError("local_efficiency of an empty graph "
+                                "(reference raises the same)")
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    sym = (g.symmetrized().filter(F.col(SRC) != F.col(DST))
+           .select(SRC, DST).distinct().cache())
+    m = sym.select(F.col(SRC).alias("c"), F.col(DST).alias("u"))
+    # wedge join: edges of the ego subgraph of c
+    cadj = (m.select("c", F.col("u").alias(ID))
+            .join(sym.select(F.col(SRC).alias(ID), F.col(DST).alias("nbr")),
+                  ID)
+            .join(m.select("c", F.col("u").alias("nbr")), ["c", "nbr"],
+                  "semi")
+            .repartition(n_part, "c", ID).cache())
+    sizes = m.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+
+    from pyspark.sql import Observation
+    runner = SuperstepRunner(None, name="local_eff", keep_scratch=2)
+    try:
+      with fixed_plan(spark):
+        state = runner.cut(m.select("c", F.col("u").alias("s"),
+                                    F.col("u").alias(ID),
+                                    F.lit(0).alias("dist")))
+        frontier = state
+        for d in range(1, max_depth + 1):
+            nxt = (frontier.join(cadj, ["c", ID])
+                   .select("c", "s", F.col("nbr").alias(ID)).distinct()
+                   .join(state.select("c", "s", ID), ["c", "s", ID], "anti")
+                   .select("c", "s", ID, F.lit(d).alias("dist")))
+            obs = Observation()
+            state = runner.cut(
+                state.unionByName(nxt)
+                .observe(obs, F.sum(F.when(F.col("dist") == d, 1)
+                                    .otherwise(0)).alias("n")))
+            if int(obs.get["n"] or 0) == 0:
+                break
+            frontier = state.filter(F.col("dist") == d)
+        inv = (state.filter(F.col("dist") > 0).groupBy("c")
+               .agg(F.sum(F.lit(1.0) / F.col("dist")).alias("inv")))
+        per = (sizes.join(inv, "c", "left")
+               .select(F.when(F.col("n_c") > 1,
+                              F.coalesce("inv", F.lit(0.0))
+                              / (F.col("n_c") * (F.col("n_c") - 1)))
+                       .otherwise(0.0).alias("eff")))
+        tot = per.agg(F.sum("eff")).collect()[0][0]
+        return float(tot or 0.0) / float(n)
+    finally:
+        sym.unpersist()
+        cadj.unpersist()
+        runner.close()
+
+
+def closeness_vitality(g: Graph, max_depth: int = 10_000,
+                       max_vertices: int = 2_000) -> DataFrame:
+    """(id, closeness_vitality) — W(G) − W(G − v) per vertex (reference
+    ``networkx/algorithms/vitality.py:9`` ``closeness_vitality``;
+    disconnected removals give −inf, both-infinite gives NaN, exactly the
+    reference's float arithmetic).
+
+    Spark shape: ONE batched BFS keyed ``(rm, s, id)`` — every
+    remove-one-vertex graph advances one level per Spark job; the wiener
+    sums come off a single groupBy.  State is O(n²·levels) rows by
+    definition (all-pairs distances in n graphs), hence ``max_vertices``:
+    this is a fixture/subgraph-tier vitality measure.
+    """
+    spark = g.edges.sparkSession
+    n = g.number_of_vertices()
+    if n > max_vertices:
+        raise ValueError(
+            f"closeness_vitality is O(n^2) state by definition; {n} "
+            f"vertices > max_vertices={max_vertices}")
+    w_full = wiener_index(g, max_depth)
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    adj = (g.symmetrized().filter(F.col(SRC) != F.col(DST))
+           .select(F.col(SRC).alias(ID), F.col(DST).alias("nbr")).distinct()
+           .repartition(n_part, ID).cache())
+    verts = g.vertices().cache()
+
+    from pyspark.sql import Observation
+    runner = SuperstepRunner(None, name="vitality", keep_scratch=2)
+    try:
+      with fixed_plan(spark):
+        pairs = (verts.select(F.col(ID).alias("rm"))
+                 .crossJoin(verts.select(F.col(ID).alias("s")))
+                 .filter(F.col("rm") != F.col("s")))
+        state = runner.cut(pairs.select("rm", "s", F.col("s").alias(ID),
+                                        F.lit(0).alias("dist")))
+        frontier = state
+        for d in range(1, max_depth + 1):
+            nxt = (frontier.join(adj, ID)
+                   .filter(F.col("nbr") != F.col("rm"))
+                   .select("rm", "s", F.col("nbr").alias(ID)).distinct()
+                   .join(state.select("rm", "s", ID), ["rm", "s", ID],
+                         "anti")
+                   .select("rm", "s", ID, F.lit(d).alias("dist")))
+            obs = Observation()
+            state = runner.cut(
+                state.unionByName(nxt)
+                .observe(obs, F.sum(F.when(F.col("dist") == d, 1)
+                                    .otherwise(0)).alias("n")))
+            if int(obs.get["n"] or 0) == 0:
+                break
+            frontier = state.filter(F.col("dist") == d)
+        agg = (state.filter(F.col("dist") > 0).groupBy("rm")
+               .agg(F.sum("dist").alias("tot"),
+                    F.count(F.lit(1)).alias("pairs")))
+        rows = (verts.select(F.col(ID).alias("rm"))
+                .join(agg, "rm", "left").collect())
+        expected = (n - 1) * (n - 2)
+        out = []
+        for r in rows:
+            if (r["pairs"] or 0) < expected:
+                w_rm = float("inf")
+            else:
+                w_rm = float(r["tot"]) if g.directed else float(r["tot"]) / 2.0
+            out.append((r["rm"], w_full - w_rm))
+        return spark.createDataFrame(
+            out, "id string, closeness_vitality double")
+    finally:
+        adj.unpersist()
+        verts.unpersist()
+        runner.close()

@@ -514,6 +514,42 @@ FROM (VALUES
 """
 
 
+def q_local_efficiency(spark, sf_dir):
+    """Local efficiency of Zachary's karate club — one batched BFS over all
+    ego subgraphs; oracle = reference value at authoring time."""
+    from networkx_spark.algorithms.distance_measures import local_efficiency
+    from networkx_spark.generators import karate_club_graph
+    val = local_efficiency(karate_club_graph(spark))
+    return spark.createDataFrame([(round(val, 6),)],
+                                 "local_efficiency double")
+
+
+# reference nx.local_efficiency(nx.karate_club_graph()), rounded 6
+SQL_LOCAL_EFFICIENCY = """
+SELECT 0.645127::DOUBLE AS local_efficiency
+"""
+
+
+def q_closeness_vitality(spark, sf_dir):
+    """Closeness vitality of a triangle—bridge—triangle graph (cut vertices
+    go to −inf) — oracle = reference values at authoring time."""
+    from networkx_spark.algorithms.distance_measures import closeness_vitality
+    from networkx_spark.graph import Graph
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (3, 4), (4, 5), (3, 5)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    cv = closeness_vitality(g)
+    return cv.select(F.col("id").cast("long").alias("id"),
+                     F.round("closeness_vitality", 6).alias("vitality"))
+
+
+# reference nx.closeness_vitality on the same fixture
+SQL_CLOSENESS_VITALITY = """
+SELECT id::BIGINT AS id, vitality::DOUBLE AS vitality FROM (VALUES
+(0, 10.0), (1, 10.0), (2, '-infinity'::DOUBLE), (3, '-infinity'::DOUBLE),
+(4, 10.0), (5, 10.0)) AS t(id, vitality)
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1170,6 +1206,8 @@ QUERIES = {
     "edge_betweenness_karate": (q_edge_betweenness, SQL_EDGE_BETWEENNESS),
     "girvan_newman_2k4": (q_girvan_newman, SQL_GIRVAN_NEWMAN),
     "simrank_bridge": (q_simrank, SQL_SIMRANK),
+    "local_efficiency_karate": (q_local_efficiency, SQL_LOCAL_EFFICIENCY),
+    "closeness_vitality_bridge": (q_closeness_vitality, SQL_CLOSENESS_VITALITY),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
