@@ -218,3 +218,5 @@ from networkx_spark.algorithms.simrank import (
     ExceededMaxIterations, simrank_similarity)
 from networkx_spark.algorithms.distance_measures import (
     closeness_vitality, efficiency, local_efficiency)
+from networkx_spark.algorithms.modularity_max import (
+    greedy_modularity_communities)

@@ -550,6 +550,28 @@ SELECT id::BIGINT AS id, vitality::DOUBLE AS vitality FROM (VALUES
 """
 
 
+def q_greedy_modularity(spark, sf_dir):
+    """CNM greedy modularity communities on Zachary's karate club —
+    checked against the reference output at authoring time (community =
+    index in the largest-first ordering)."""
+    from networkx_spark.algorithms.modularity_max import (
+        greedy_modularity_communities)
+    from networkx_spark.generators import karate_club_graph
+    df = greedy_modularity_communities(karate_club_graph(spark))
+    return df.select(F.col("id").cast("long").alias("id"), "community")
+
+
+# reference nx.community.greedy_modularity_communities(karate)
+SQL_GREEDY_MODULARITY = """
+SELECT id::BIGINT AS id, community::BIGINT AS community FROM (VALUES
+(0, 2), (1, 1), (2, 1), (3, 1), (4, 2), (5, 2), (6, 2), (7, 1), (8, 0),
+(9, 1), (10, 2), (11, 2), (12, 1), (13, 1), (14, 0), (15, 0), (16, 2),
+(17, 1), (18, 0), (19, 2), (20, 0), (21, 1), (22, 0), (23, 0), (24, 0),
+(25, 0), (26, 0), (27, 0), (28, 0), (29, 0), (30, 0), (31, 0), (32, 0),
+(33, 0)) AS t(id, community)
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1208,6 +1230,7 @@ QUERIES = {
     "simrank_bridge": (q_simrank, SQL_SIMRANK),
     "local_efficiency_karate": (q_local_efficiency, SQL_LOCAL_EFFICIENCY),
     "closeness_vitality_bridge": (q_closeness_vitality, SQL_CLOSENESS_VITALITY),
+    "greedy_modularity_karate": (q_greedy_modularity, SQL_GREEDY_MODULARITY),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
