@@ -204,7 +204,8 @@ from networkx_spark.algorithms.link_prediction import (
 from networkx_spark.algorithms.mst import min_vertex_cover_approx
 from networkx_spark.algorithms.bfs import ego_graph
 from networkx_spark.pipeline.curation import (
-    decontaminate, hash_sample, ngram_vocabulary, redact_pii, word_ngrams)
+    decontaminate, hash_sample, ngram_vocabulary, redact_pii,
+    remove_duplicate_segments, segment_document_frequency, word_ngrams)
 from networkx_spark.pipeline.sessions import session_stats, sessionize
 from networkx_spark.extract import (
     anchor_text_per_target, anchors_from_pages, extract_anchors)

@@ -880,6 +880,39 @@ FROM ends GROUP BY id
 """
 
 
+def q_segment_dedup(spark, sf_dir):
+    """Corpus-frequent-segment removal (the CCNet/RefinedWeb line-dedup
+    stage; token-level here because the synthetic docs are single-line):
+    every token appearing in ≥300 documents is dropped, order preserved."""
+    from networkx_spark.pipeline.curation import remove_duplicate_segments
+    docs = load(spark, sf_dir, "documents")
+    out = remove_duplicate_segments(docs, min_df=300, delimiter=" ")
+    return out.select("doc_id", F.col("text").alias("clean_text"))
+
+
+SQL_SEGMENT_DEDUP = """
+WITH base AS (SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+seg AS (
+  SELECT doc_id, i AS pos, l[i] AS seg
+  FROM base, UNNEST(generate_series(1, array_length(l))) AS g(i)
+),
+dup AS (
+  SELECT seg FROM seg WHERE trim(seg) <> ''
+  GROUP BY seg HAVING count(DISTINCT doc_id) >= 300
+),
+kept AS (
+  SELECT s.doc_id, s.pos, s.seg FROM seg s LEFT JOIN dup d USING (seg)
+  WHERE d.seg IS NULL
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_dedup_exact(spark, sf_dir):
     from networkx_spark.pipeline.dedup import exact_duplicates
     return exact_duplicates(load(spark, sf_dir, "documents")).select("doc_id", "canonical_id")
@@ -1237,6 +1270,7 @@ QUERIES = {
     "jaccard_lp": (q_jaccard_lp, SQL_JACCARD_LP),
     "adamic_adar_lp": (q_adamic_adar_lp, SQL_ADAMIC_ADAR_LP),
     # documents pipeline
+    "segment_dedup": (q_segment_dedup, SQL_SEGMENT_DEDUP),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "fingerprint": (q_fingerprint, SQL_FINGERPRINT),

@@ -140,3 +140,63 @@ def redact_pii(docs: DataFrame, id_col: str = "doc_id",
         n_emails.alias("n_emails"),
         n_phones.alias("n_phones"),
         F.md5(redacted).alias("redacted_fp"))
+
+
+def segment_document_frequency(docs: DataFrame, delimiter: str = "\n",
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """(segment, df) — corpus document frequency of every non-blank text
+    segment (lines by default; '\\n\\n' = paragraphs, ' ' = tokens).
+
+    The segment-level analogue of the CCNet / RefinedWeb line-dedup
+    stage: boilerplate lines (nav bars, cookie banners) recur across
+    many pages and are identified purely by exact-match document
+    frequency.  One explode + one hash groupBy — whole-stage codegen,
+    no Python.  Net-new (training-data layer); no reference analogue.
+    """
+    import re as _re
+    seg = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), _re.escape(delimiter)))
+        .alias("segment"))
+    return (seg.filter(F.trim("segment") != "")
+            .groupBy("segment")
+            .agg(F.count_distinct(id_col).alias("df")))
+
+
+def remove_duplicate_segments(docs: DataFrame, min_df: int = 2,
+                              delimiter: str = "\n", id_col: str = "doc_id",
+                              text_col: str = "text") -> DataFrame:
+    """Documents with corpus-frequent segments removed, order preserved.
+
+    Every segment whose document frequency ≥ ``min_df`` is dropped from
+    every document (blank segments are never dropped); remaining
+    segments are rejoined with the same delimiter, preserving order.
+    Returns the input schema with ``text`` rewritten (possibly '').
+
+    Scale: the frequent-segment set is usually tiny relative to the
+    corpus (boilerplate follows a power law), so the anti-join is
+    hash-partitioned on the segment — the same shuffle envelope as the
+    df count itself; reassembly groups by doc_id, co-partitioned with
+    the explode.
+    """
+    import re as _re
+    pat = _re.escape(delimiter)
+    seg = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), pat))
+        .alias("pos", "segment"))
+    dup = (segment_document_frequency(docs, delimiter, id_col, text_col)
+           .filter(F.col("df") >= min_df).select("segment"))
+    kept = seg.join(dup, "segment", "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("pos", "segment"))),
+                       lambda x: x["segment"]),
+                   delimiter).alias("_new_text")))
+    others = [c for c in docs.columns if c != text_col]
+    return (docs.join(rebuilt, id_col, "left")
+            .select(*others,
+                    F.coalesce("_new_text", F.lit("")).alias(text_col)))

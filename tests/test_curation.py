@@ -95,3 +95,45 @@ def test_extract_anchors_nested_and_relative(spark):
     got = extract_anchors(html, "http://base.org/p")
     assert got == [("http://base.org/a", "go here"),
                    ("http://x.com/b", "bold link")]
+
+
+# ------------------------------------------------ segment (line) dedup
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_segment_df_counts_lines(spark):
+    from networkx_spark.pipeline.curation import segment_document_frequency
+    docs = _docs(spark, [
+        (1, "unique one\ncookie banner\nbody a"),
+        (2, "cookie banner\nbody b\ncookie banner"),
+        (3, "cookie banner\n\nbody c"),
+    ])
+    got = {r["segment"]: r["df"]
+           for r in segment_document_frequency(docs).collect()}
+    # repeated within one doc counts once; blank lines never counted
+    assert got["cookie banner"] == 3
+    assert got["unique one"] == 1
+    assert "" not in got
+
+
+def test_remove_duplicate_segments_order_and_blanks(spark):
+    from networkx_spark.pipeline.curation import remove_duplicate_segments
+    docs = _docs(spark, [
+        (1, "keep a\nboiler\nkeep b"),
+        (2, "boiler\nkeep c"),
+        (3, "boiler"),
+    ])
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_segments(docs, min_df=2).collect()}
+    assert out[1] == "keep a\nkeep b"
+    assert out[2] == "keep c"
+    assert out[3] == ""            # fully-boilerplate doc survives, empty
+
+
+def test_remove_duplicate_segments_identity_when_no_dups(spark):
+    from networkx_spark.pipeline.curation import remove_duplicate_segments
+    docs = _docs(spark, [(1, "a\n\nb"), (2, "c\nd")])
+    out = {r["doc_id"]: r["text"]
+           for r in remove_duplicate_segments(docs, min_df=2).collect()}
+    assert out == {1: "a\n\nb", 2: "c\nd"}   # split/join round-trip exact
