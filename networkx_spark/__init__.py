@@ -221,3 +221,6 @@ from networkx_spark.algorithms.distance_measures import (
     closeness_vitality, efficiency, local_efficiency)
 from networkx_spark.algorithms.modularity_max import (
     greedy_modularity_communities)
+from networkx_spark.algorithms.voronoi import voronoi_cells
+from networkx_spark.algorithms.girvan_newman import edge_betweenness_partition
+from networkx_spark.algorithms.regular import is_k_regular, is_regular

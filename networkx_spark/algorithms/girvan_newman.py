@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from networkx_spark.graph import Graph, SRC, DST
+from networkx_spark.graph import Graph, SRC, DST, ID
 from networkx_spark.algorithms.betweenness import edge_betweenness_centrality
 from networkx_spark.algorithms.components import connected_components
 
@@ -89,5 +89,58 @@ def girvan_newman(g: Graph, levels: int = 1,
                     f"girvan_newman: no split within max_removals="
                     f"{max_removals}")
         return results
+    finally:
+        base.unpersist()
+
+
+def edge_betweenness_partition(g: Graph, number_of_sets: int,
+                               max_removals: int = 10_000) -> DataFrame:
+    """(id, community) after removing highest-edge-betweenness edges until
+    ≥ ``number_of_sets`` components exist (reference
+    ``community/divisive.py:11`` ``edge_betweenness_partition``; the
+    reference's ``nx.connected_components`` restricts it to undirected
+    graphs in practice, mirrored here via symmetrization)."""
+    vertices = g.vertices()
+    n = vertices.count()
+    if number_of_sets <= 0:
+        raise ValueError("number_of_sets must be >0 (reference NetworkXError)")
+    if number_of_sets > n:
+        raise ValueError("number_of_sets must be <= len(G) "
+                         "(reference NetworkXError)")
+    if number_of_sets == 1:
+        return vertices.select(
+            ID, F.lit("0").alias("community"))
+    if number_of_sets == n:
+        return vertices.select(ID, F.col(ID).alias("community"))
+
+    base = (g.edges.select(F.least(SRC, DST).alias(SRC),
+                           F.greatest(SRC, DST).alias(DST))
+            .filter(F.col(SRC) != F.col(DST)).distinct().cache())
+    key = F.concat_ws("\x00", SRC, DST)
+    removed: list[str] = []
+
+    def current() -> DataFrame:
+        return base.filter(~key.isin(removed)) if removed else base
+
+    try:
+        cc = connected_components(
+            Graph(current(), directed=False, vertices=vertices))
+        ncomp = cc.select("component").distinct().count()
+        for _ in range(max_removals):
+            if ncomp >= number_of_sets:
+                return cc.withColumnRenamed("component", "community")
+            eb = edge_betweenness_centrality(
+                Graph(current(), directed=False, vertices=vertices),
+                normalized=True)
+            top = (eb.orderBy(F.desc("betweenness"), SRC, DST)
+                   .limit(1).collect())
+            if not top:
+                return cc.withColumnRenamed("component", "community")
+            removed.append(f"{top[0][SRC]}\x00{top[0][DST]}")
+            cc = connected_components(
+                Graph(current(), directed=False, vertices=vertices))
+            ncomp = cc.select("component").distinct().count()
+        raise RuntimeError("edge_betweenness_partition: target not reached "
+                           f"within max_removals={max_removals}")
     finally:
         base.unpersist()

@@ -572,6 +572,42 @@ SELECT id::BIGINT AS id, community::BIGINT AS community FROM (VALUES
 """
 
 
+_VORONOI_EDGES = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),
+                  (7, 8), (8, 9), (2, 7), (1, 4)]
+
+
+def q_voronoi(spark, sf_dir):
+    """Voronoi cells (nearest-center partition) on a fixed 10-vertex graph
+    with centers {0, 9} — oracle is an independent recursive-CTE BFS in
+    DuckDB with the same min-(dist, center) tie rule."""
+    from networkx_spark.algorithms.voronoi import voronoi_cells
+    from networkx_spark.graph import Graph
+    g = Graph.from_edge_list(spark, _VORONOI_EDGES, directed=False)
+    cells = voronoi_cells(g, [0, 9], weight=False)
+    return cells.select(F.col("id").cast("long").alias("id"),
+                        F.col("center").cast("long").alias("center"))
+
+
+SQL_VORONOI = """
+WITH RECURSIVE eo(src, dst) AS (
+  SELECT * FROM (VALUES (0,1),(1,2),(2,3),(3,4),(4,5),(5,6),(6,7),(7,8),
+                        (8,9),(2,7),(1,4)) AS t(src, dst)
+), e AS (
+  SELECT src, dst FROM eo UNION SELECT dst, src FROM eo
+), walk(id, center, d) AS (
+  SELECT c, c, 0 FROM (VALUES (0),(9)) AS c(c)
+  UNION ALL
+  SELECT e.dst, w.center, w.d + 1 FROM walk w JOIN e ON e.src = w.id
+  WHERE w.d < 10
+), best AS (
+  SELECT id, min(d) AS md FROM walk GROUP BY id
+)
+SELECT w.id::BIGINT AS id, min(w.center)::BIGINT AS center
+FROM walk w JOIN best b ON w.id = b.id AND w.d = b.md
+GROUP BY w.id
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1264,6 +1300,7 @@ QUERIES = {
     "local_efficiency_karate": (q_local_efficiency, SQL_LOCAL_EFFICIENCY),
     "closeness_vitality_bridge": (q_closeness_vitality, SQL_CLOSENESS_VITALITY),
     "greedy_modularity_karate": (q_greedy_modularity, SQL_GREEDY_MODULARITY),
+    "voronoi_cells_10": (q_voronoi, SQL_VORONOI),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
