@@ -224,3 +224,5 @@ from networkx_spark.algorithms.modularity_max import (
 from networkx_spark.algorithms.voronoi import voronoi_cells
 from networkx_spark.algorithms.girvan_newman import edge_betweenness_partition
 from networkx_spark.algorithms.regular import is_k_regular, is_regular
+from networkx_spark.algorithms.trophic import (
+    trophic_differences, trophic_incoherence_parameter, trophic_levels)

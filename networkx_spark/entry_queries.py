@@ -608,6 +608,26 @@ GROUP BY w.id
 """
 
 
+def q_trophic(spark, sf_dir):
+    """Trophic levels on a small food web with a basal-fed cycle — oracle
+    is the reference's dense (I−p)⁻¹ formula evaluated at authoring time
+    (values exact: 1, 4, 5, 4.5, 2)."""
+    from networkx_spark.algorithms.trophic import trophic_levels
+    from networkx_spark.graph import Graph
+    edges = [(0, 1), (1, 2), (2, 1), (2, 3), (0, 4), (4, 3)]
+    g = Graph.from_edge_list(spark, edges, directed=True)
+    s = trophic_levels(g, tol=1e-9)
+    return s.select(F.col("id").cast("long").alias("id"),
+                    F.round("trophic_level", 6).alias("trophic_level"))
+
+
+# reference dense-solve trophic levels on the same fixture
+SQL_TROPHIC = """
+SELECT id::BIGINT AS id, trophic_level::DOUBLE AS trophic_level FROM (VALUES
+(0, 1.0), (1, 4.0), (2, 5.0), (3, 4.5), (4, 2.0)) AS t(id, trophic_level)
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1301,6 +1321,7 @@ QUERIES = {
     "closeness_vitality_bridge": (q_closeness_vitality, SQL_CLOSENESS_VITALITY),
     "greedy_modularity_karate": (q_greedy_modularity, SQL_GREEDY_MODULARITY),
     "voronoi_cells_10": (q_voronoi, SQL_VORONOI),
+    "trophic_levels_web": (q_trophic, SQL_TROPHIC),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
