@@ -226,3 +226,5 @@ from networkx_spark.algorithms.girvan_newman import edge_betweenness_partition
 from networkx_spark.algorithms.regular import is_k_regular, is_regular
 from networkx_spark.algorithms.trophic import (
     trophic_differences, trophic_incoherence_parameter, trophic_levels)
+from networkx_spark.algorithms.cliques import (
+    find_cliques, k_clique_communities)

@@ -628,6 +628,53 @@ SELECT id::BIGINT AS id, trophic_level::DOUBLE AS trophic_level FROM (VALUES
 """
 
 
+def _sorted_members(col):
+    """array<string> of numeric ids -> canonical 'a,b,c' numeric-sorted."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.transform(col, lambda x: x.cast("long"))),
+            lambda x: x.cast("string")), ",")
+
+
+def q_max_cliques(spark, sf_dir):
+    """All 36 maximal cliques of Zachary's karate club via parallel
+    Bron–Kerbosch — oracle = reference nx.find_cliques at authoring time."""
+    from networkx_spark.algorithms.cliques import find_cliques
+    from networkx_spark.generators import karate_club_graph
+    cl = find_cliques(karate_club_graph(spark))
+    return cl.select(_sorted_members(F.col("clique")).alias("clique"))
+
+
+SQL_MAX_CLIQUES = """
+SELECT clique FROM (VALUES
+('0,1,17'), ('0,1,19'), ('0,1,2,3,13'), ('0,1,2,3,7'), ('0,1,21'),
+('0,11'), ('0,2,8'), ('0,3,12'), ('0,31'), ('0,4,10'), ('0,4,6'),
+('0,5,10'), ('0,5,6'), ('1,30'), ('13,33'), ('14,32,33'), ('15,32,33'),
+('18,32,33'), ('19,33'), ('2,27'), ('2,28'), ('2,8,32'), ('2,9'),
+('20,32,33'), ('22,32,33'), ('23,25'), ('23,27,33'), ('23,29,32,33'),
+('24,25,31'), ('24,27'), ('26,29,33'), ('28,31,33'), ('31,32,33'),
+('5,6,16'), ('8,30,32,33'), ('9,33')) AS t(clique)
+"""
+
+
+def q_k_clique_communities(spark, sf_dir):
+    """k=4 clique percolation on karate: the three overlapping Palla
+    communities, one row per community (canonical member list) — oracle =
+    reference nx.community.k_clique_communities at authoring time."""
+    from networkx_spark.algorithms.cliques import k_clique_communities
+    from networkx_spark.generators import karate_club_graph
+    kc = k_clique_communities(karate_club_graph(spark), 4)
+    return (kc.groupBy("community")
+            .agg(_sorted_members(F.collect_list("id")).alias("members"))
+            .select("members"))
+
+
+SQL_K_CLIQUE = """
+SELECT members FROM (VALUES
+('0,1,2,3,7,13'), ('23,29,32,33'), ('8,30,32,33')) AS t(members)
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1322,6 +1369,8 @@ QUERIES = {
     "greedy_modularity_karate": (q_greedy_modularity, SQL_GREEDY_MODULARITY),
     "voronoi_cells_10": (q_voronoi, SQL_VORONOI),
     "trophic_levels_web": (q_trophic, SQL_TROPHIC),
+    "max_cliques_karate": (q_max_cliques, SQL_MAX_CLIQUES),
+    "k_clique_communities_karate": (q_k_clique_communities, SQL_K_CLIQUE),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
