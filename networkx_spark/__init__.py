@@ -228,3 +228,4 @@ from networkx_spark.algorithms.trophic import (
     trophic_differences, trophic_incoherence_parameter, trophic_levels)
 from networkx_spark.algorithms.cliques import (
     find_cliques, k_clique_communities)
+from networkx_spark.algorithms.fluid import asyn_fluidc

@@ -1585,6 +1585,21 @@ SQL_FAST_LPA_GOLDEN = (f"SELECT id, label FROM "
                        f"read_parquet('{GOLDEN_DIR}/fast_lpa_web400.parquet')")
 
 
+def q_asyn_fluidc(spark, sf_dir):
+    """Seeded fluid communities (k=3, seed=5) on Zachary's karate club —
+    deterministic color-class-batched sweeps, pinned by a golden
+    (``fluid.py``; reference ``community/asyn_fluid.py:13``)."""
+    from networkx_spark.algorithms.fluid import asyn_fluidc
+    from networkx_spark.generators import karate_club_graph
+    out = asyn_fluidc(karate_club_graph(spark), 3, seed=5)
+    return out.select(F.col("id").cast("long").alias("id"), "community")
+
+
+SQL_ASYN_FLUIDC_GOLDEN = (
+    f"SELECT id, community FROM "
+    f"read_parquet('{GOLDEN_DIR}/asyn_fluidc_karate3.parquet')")
+
+
 # -------------------------------------------------------- graph products
 # G = the region->nation ownership forest (25 directed edges, 30 vertices,
 # ids prefixed to keep the two key spaces apart); H = the 5-region cycle.
@@ -1649,6 +1664,7 @@ QUERIES.update({
     "attr_assortativity": (q_attr_assortativity, SQL_ATTR_ASSORTATIVITY),
     "k_truss": (q_k_truss, SQL_K_TRUSS),
     "fast_lpa": (q_fast_lpa, SQL_FAST_LPA_GOLDEN),
+    "asyn_fluidc": (q_asyn_fluidc, SQL_ASYN_FLUIDC_GOLDEN),
     "tensor_product": (q_tensor_product, SQL_TENSOR_PRODUCT),
     "cartesian_product": (q_cartesian_product, SQL_CARTESIAN_PRODUCT),
 })

@@ -44,8 +44,9 @@ def _mst_reference(spark):
 def main() -> None:
     from pyspark.sql import functions as F
 
-    from networkx_spark.entry_queries import (GOLDEN_DIR, q_asyn_lpa,
-                                              q_fast_lpa, q_lpa, q_louvain,
+    from networkx_spark.entry_queries import (GOLDEN_DIR, q_asyn_fluidc,
+                                              q_asyn_lpa, q_fast_lpa,
+                                              q_lpa, q_louvain,
                                               q_maximal_matching)
     from networkx_spark.generators import synthesize_pages
     from networkx_spark.session import get_spark
@@ -58,6 +59,7 @@ def main() -> None:
             ("asyn_lpa_web400", lambda: q_asyn_lpa(spark, "")),
             ("louvain_web400", lambda: q_louvain(spark, "")),
             ("fast_lpa_web400", lambda: q_fast_lpa(spark, "")),
+            ("asyn_fluidc_karate3", lambda: q_asyn_fluidc(spark, "")),
             # INPUT snapshot, not an output golden: the extraction oracle
             # re-derives edges from this raw html independently in DuckDB
             ("web_pages_500", lambda: synthesize_pages(spark, 500, seed=42)
