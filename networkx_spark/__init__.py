@@ -229,3 +229,5 @@ from networkx_spark.algorithms.trophic import (
 from networkx_spark.algorithms.cliques import (
     find_cliques, k_clique_communities)
 from networkx_spark.algorithms.fluid import asyn_fluidc
+from networkx_spark.algorithms.lca import (
+    all_pairs_lowest_common_ancestor, lowest_common_ancestor)

@@ -675,6 +675,30 @@ SELECT members FROM (VALUES
 """
 
 
+def q_lca(spark, sf_dir):
+    """All-pairs lowest common ancestor on a 7-node rooted tree (every
+    LCA unique, so the deterministic pick equals the mathematical
+    answer) — oracle = reference-validated values at authoring time."""
+    from networkx_spark.algorithms.lca import all_pairs_lowest_common_ancestor
+    from networkx_spark.graph import Graph
+    edges = [(0, 1), (0, 2), (1, 3), (1, 4), (2, 5), (2, 6)]
+    g = Graph.from_edge_list(spark, edges, directed=True)
+    out = all_pairs_lowest_common_ancestor(g)
+    return out.select(F.col("u").cast("long").alias("u"),
+                      F.col("v").cast("long").alias("v"),
+                      F.col("lca").cast("long").alias("lca"))
+
+
+SQL_LCA = """
+SELECT u::BIGINT AS u, v::BIGINT AS v, lca::BIGINT AS lca FROM (VALUES
+(0, 0, 0), (0, 1, 0), (0, 2, 0), (0, 3, 0), (0, 4, 0), (0, 5, 0),
+(0, 6, 0), (1, 1, 1), (1, 2, 0), (1, 3, 1), (1, 4, 1), (1, 5, 0),
+(1, 6, 0), (2, 2, 2), (2, 3, 0), (2, 4, 0), (2, 5, 2), (2, 6, 2),
+(3, 3, 3), (3, 4, 1), (3, 5, 0), (3, 6, 0), (4, 4, 4), (4, 5, 0),
+(4, 6, 0), (5, 5, 5), (5, 6, 2), (6, 6, 6)) AS t(u, v, lca)
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1371,6 +1395,7 @@ QUERIES = {
     "trophic_levels_web": (q_trophic, SQL_TROPHIC),
     "max_cliques_karate": (q_max_cliques, SQL_MAX_CLIQUES),
     "k_clique_communities_karate": (q_k_clique_communities, SQL_K_CLIQUE),
+    "lca_tree": (q_lca, SQL_LCA),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
