@@ -231,3 +231,6 @@ from networkx_spark.algorithms.cliques import (
 from networkx_spark.algorithms.fluid import asyn_fluidc
 from networkx_spark.algorithms.lca import (
     all_pairs_lowest_common_ancestor, lowest_common_ancestor)
+from networkx_spark.algorithms.walk_counts import number_of_walks
+from networkx_spark.algorithms.dfs import (
+    dfs_edges, dfs_postorder_nodes, dfs_preorder_nodes, dfs_tree)

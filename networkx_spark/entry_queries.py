@@ -699,6 +699,33 @@ SELECT u::BIGINT AS u, v::BIGINT AS v, lca::BIGINT AS lca FROM (VALUES
 """
 
 
+def q_number_of_walks(spark, sf_dir):
+    """A³ walk counts on Zachary's karate club — oracle recomputes the
+    matrix cube independently as unrolled SQL joins over the same
+    public-domain edge list."""
+    from networkx_spark.algorithms.walk_counts import number_of_walks
+    from networkx_spark.generators import karate_club_graph
+    w = number_of_walks(karate_club_graph(spark), 3)
+    return w.select(F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"), "walks")
+
+
+def _walks_sql() -> str:
+    from networkx_spark.generators import KARATE_EDGES
+    vals = ", ".join(f"({u}, {v})" for u, v in KARATE_EDGES)
+    return f"""
+WITH e(src, dst) AS (VALUES {vals}),
+a AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+w2 AS (
+  SELECT a1.src AS u, a2.dst AS v, count(*) AS walks
+  FROM a a1 JOIN a a2 ON a1.dst = a2.src GROUP BY a1.src, a2.dst
+)
+SELECT w2.u::BIGINT AS u, a.dst::BIGINT AS v,
+       sum(w2.walks)::BIGINT AS walks
+FROM w2 JOIN a ON w2.v = a.src GROUP BY w2.u, a.dst
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1396,6 +1423,7 @@ QUERIES = {
     "max_cliques_karate": (q_max_cliques, SQL_MAX_CLIQUES),
     "k_clique_communities_karate": (q_k_clique_communities, SQL_K_CLIQUE),
     "lca_tree": (q_lca, SQL_LCA),
+    "number_of_walks_k3": (q_number_of_walks, _walks_sql()),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
