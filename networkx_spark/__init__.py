@@ -234,3 +234,6 @@ from networkx_spark.algorithms.lca import (
 from networkx_spark.algorithms.walk_counts import number_of_walks
 from networkx_spark.algorithms.dfs import (
     dfs_edges, dfs_postorder_nodes, dfs_preorder_nodes, dfs_tree)
+from networkx_spark.algorithms.dispersion import dispersion
+from networkx_spark.algorithms.distance_measures import (
+    degree_distance_indices, gutman_index, schultz_index)

@@ -293,3 +293,65 @@ def closeness_vitality(g: Graph, max_depth: int = 10_000,
         adj.unpersist()
         verts.unpersist()
         runner.close()
+
+
+def _degree_distance_sum(g: Graph, combine, max_depth: int) -> float:
+    """Σ over ordered pairs of dist·combine(deg_u, deg_v), halved —
+    shared by Schultz/Gutman.  Raises on disconnected input like the
+    reference (``wiener.py:142-151``)."""
+    if g.directed:
+        raise ValueError("Schultz/Gutman indices are undirected-only "
+                         "(reference raises NetworkXNotImplemented)")
+    n = g.number_of_vertices()
+    deg = g.degrees()
+    dists = _pair_distances(g, max_depth)
+    row = (dists
+           .join(deg.select(F.col(ID).alias("s"),
+                            F.col("degree").alias("_ds")), "s")
+           .join(deg.select(ID, F.col("degree").alias("_dt")), ID)
+           .agg(F.sum(F.col("dist") * combine(F.col("_ds"), F.col("_dt")))
+                .alias("tot"),
+                F.count(F.lit(1)).alias("pairs"))).collect()[0]
+    if (row["pairs"] or 0) < n * (n - 1):
+        raise ValueError("Graph is not connected (reference NetworkXError)")
+    return float(row["tot"]) / 2.0
+
+
+def degree_distance_indices(g: Graph,
+                            max_depth: int = 10_000) -> tuple[float, float]:
+    """(schultz, gutman) from ONE all-pairs BFS — the two indices share
+    the distance table, so computing them together halves the cost."""
+    if g.directed:
+        raise ValueError("Schultz/Gutman indices are undirected-only "
+                         "(reference raises NetworkXNotImplemented)")
+    n = g.number_of_vertices()
+    deg = g.degrees()
+    dists = _pair_distances(g, max_depth)
+    row = (dists
+           .join(deg.select(F.col(ID).alias("s"),
+                            F.col("degree").alias("_ds")), "s")
+           .join(deg.select(ID, F.col("degree").alias("_dt")), ID)
+           .agg(F.sum(F.col("dist") * (F.col("_ds") + F.col("_dt")))
+                .alias("s_tot"),
+                F.sum(F.col("dist") * F.col("_ds") * F.col("_dt"))
+                .alias("g_tot"),
+                F.count(F.lit(1)).alias("pairs"))).collect()[0]
+    if (row["pairs"] or 0) < n * (n - 1):
+        raise ValueError("Graph is not connected (reference NetworkXError)")
+    return float(row["s_tot"]) / 2.0, float(row["g_tot"]) / 2.0
+
+
+def schultz_index(g: Graph, max_depth: int = 10_000) -> float:
+    """Σ over unordered pairs of d(u,v)·(deg u + deg v)
+    (reference ``wiener.py:98`` ``schultz_index``; degrees are always the
+    unweighted counts there — its ``dict(G.degree, weight=...)`` puts the
+    weight into the dict as a KEY, a reference quirk mirrored by simply
+    using unweighted degrees)."""
+    return _degree_distance_sum(g, lambda a, b: a + b, max_depth)
+
+
+def gutman_index(g: Graph, max_depth: int = 10_000) -> float:
+    """Σ over unordered pairs of d(u,v)·deg(u)·deg(v)
+    (reference ``wiener.py:166`` ``gutman_index``; same degree quirk as
+    :func:`schultz_index`)."""
+    return _degree_distance_sum(g, lambda a, b: a * b, max_depth)

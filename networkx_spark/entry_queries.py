@@ -726,6 +726,64 @@ FROM w2 JOIN a ON w2.v = a.src GROUP BY w2.u, a.dst
 """
 
 
+def q_dispersion(spark, sf_dir):
+    """Dispersion (Backstrom–Kleinberg) over every tie of a 6-node
+    fixture — oracle = reference values at authoring time."""
+    from networkx_spark.algorithms.dispersion import dispersion
+    from networkx_spark.graph import Graph
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (1, 2), (1, 3), (1, 4),
+             (2, 5), (4, 5)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    d = dispersion(g)
+    return d.select(F.col("u").cast("long").alias("u"),
+                    F.col("v").cast("long").alias("v"),
+                    F.round("dispersion", 6).alias("dispersion"))
+
+
+SQL_DISPERSION = """
+SELECT u::BIGINT AS u, v::BIGINT AS v, dispersion::DOUBLE AS dispersion
+FROM (VALUES
+(0, 1, 1.0), (0, 2, 0.0), (0, 3, 0.0), (0, 4, 0.0), (1, 0, 1.0),
+(1, 2, 0.0), (1, 3, 0.0), (1, 4, 0.0), (2, 0, 0.0), (2, 1, 0.0),
+(2, 5, 0.0), (3, 0, 0.0), (3, 1, 0.0), (4, 0, 0.0), (4, 1, 0.0),
+(4, 5, 0.0), (5, 2, 0.0), (5, 4, 0.0)) AS t(u, v, dispersion)
+"""
+
+
+def q_topological_indices(spark, sf_dir):
+    """Schultz and Gutman degree-distance indices of the karate club —
+    oracle recomputes both independently from a recursive-CTE BFS +
+    degree table over the same public-domain edge list."""
+    from networkx_spark.algorithms.distance_measures import (
+        degree_distance_indices)
+    from networkx_spark.generators import karate_club_graph
+    g = karate_club_graph(spark)
+    s_idx, g_idx = degree_distance_indices(g)
+    return spark.createDataFrame([(s_idx, g_idx)],
+                                 "schultz double, gutman double")
+
+
+def _indices_sql() -> str:
+    from networkx_spark.generators import KARATE_EDGES
+    vals = ", ".join(f"({u}, {v})" for u, v in KARATE_EDGES)
+    return f"""
+WITH RECURSIVE e(src, dst) AS (VALUES {vals}),
+sym AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+v AS (SELECT src AS id FROM sym GROUP BY src),
+deg AS (SELECT src AS id, count(*) AS d FROM sym GROUP BY src),
+walk(s, id, d) AS (
+    SELECT id, id, 0 FROM v
+    UNION
+    SELECT walk.s, sym.dst, walk.d + 1 FROM walk JOIN sym ON sym.src = walk.id
+    WHERE walk.d < 6
+),
+dist AS (SELECT s, id, min(d) AS d FROM walk GROUP BY s, id HAVING min(d) > 0)
+SELECT (sum(dist.d * (d1.d + d2.d)) / 2.0)::DOUBLE AS schultz,
+       (sum(dist.d * d1.d * d2.d) / 2.0)::DOUBLE AS gutman
+FROM dist JOIN deg d1 ON dist.s = d1.id JOIN deg d2 ON dist.id = d2.id
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1424,6 +1482,8 @@ QUERIES = {
     "k_clique_communities_karate": (q_k_clique_communities, SQL_K_CLIQUE),
     "lca_tree": (q_lca, SQL_LCA),
     "number_of_walks_k3": (q_number_of_walks, _walks_sql()),
+    "dispersion_6": (q_dispersion, SQL_DISPERSION),
+    "topological_indices_karate": (q_topological_indices, _indices_sql()),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
