@@ -784,6 +784,27 @@ FROM dist JOIN deg d1 ON dist.s = d1.id JOIN deg d2 ON dist.id = d2.id
 """
 
 
+def q_kernighan_lin(spark, sf_dir):
+    """Seeded Kernighan–Lin bisection (seed=0) of the karate club —
+    move-for-move reference parity; oracle = reference output at
+    authoring time (side 0 = the reference's returned set A)."""
+    from networkx_spark.algorithms.kernighan_lin import kernighan_lin_bisection
+    from networkx_spark.generators import karate_club_graph
+    out = kernighan_lin_bisection(karate_club_graph(spark), seed=0)
+    return out.select(F.col("id").cast("long").alias("id"), "side")
+
+
+# reference nx.community.kernighan_lin_bisection(karate, seed=0)
+SQL_KERNIGHAN_LIN = """
+SELECT id::BIGINT AS id, side::BIGINT AS side FROM (VALUES
+(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 0), (7, 0), (8, 1),
+(9, 0), (10, 0), (11, 0), (12, 0), (13, 0), (14, 1), (15, 1), (16, 0),
+(17, 0), (18, 1), (19, 0), (20, 1), (21, 0), (22, 1), (23, 1), (24, 1),
+(25, 1), (26, 1), (27, 1), (28, 1), (29, 1), (30, 1), (31, 1), (32, 1),
+(33, 1)) AS t(id, side)
+"""
+
+
 # -------------------------------------------------------- graph: modularity
 def q_modularity_fixed(spark, sf_dir):
     """Modularity of the fixed partition ``id % 10`` on the undirected
@@ -1484,6 +1505,7 @@ QUERIES = {
     "number_of_walks_k3": (q_number_of_walks, _walks_sql()),
     "dispersion_6": (q_dispersion, SQL_DISPERSION),
     "topological_indices_karate": (q_topological_indices, _indices_sql()),
+    "kernighan_lin_karate": (q_kernighan_lin, SQL_KERNIGHAN_LIN),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
