@@ -238,3 +238,4 @@ from networkx_spark.algorithms.dispersion import dispersion
 from networkx_spark.algorithms.distance_measures import (
     degree_distance_indices, gutman_index, schultz_index)
 from networkx_spark.algorithms.kernighan_lin import kernighan_lin_bisection
+from networkx_spark.algorithms.percolation import percolation_centrality

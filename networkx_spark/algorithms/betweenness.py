@@ -69,7 +69,8 @@ def edge_betweenness_centrality(g: Graph, k: Optional[int] = None,
 
 def _batched_brandes(g: Graph, k: Optional[int], normalized: bool,
                      seed: int | None, max_depth: int,
-                     edges_mode: bool) -> DataFrame:
+                     edges_mode: bool,
+                     per_source: bool = False) -> DataFrame:
     spark = g.edges.sparkSession
     vertices = g.vertices().cache()
     n = vertices.count()
@@ -147,6 +148,16 @@ def _batched_brandes(g: Graph, k: Optional[int], normalized: bool,
 
         if edges_mode:
             return _finish_edges(g, eacc, n, normalized, k_eff)
+        if per_source:
+            # raw per-source dependencies (s, id, delta), w != s rows only —
+            # the δ_s(w) table percolation/weighted variants aggregate over
+            if not acc:
+                return spark.createDataFrame(
+                    [], "s string, id string, delta double")
+            out = acc[0]
+            for a in acc[1:]:
+                out = out.unionByName(a)
+            return out.filter(F.col("s") != F.col(ID))
         if not acc:
             bc = vertices.select(ID, F.lit(0.0).alias("betweenness"))
         else:

@@ -794,6 +794,26 @@ def q_kernighan_lin(spark, sf_dir):
     return out.select(F.col("id").cast("long").alias("id"), "side")
 
 
+def q_percolation(spark, sf_dir):
+    """Percolation centrality with non-uniform states on a 5-node
+    directed web — oracle = reference values at authoring time."""
+    from networkx_spark.algorithms.percolation import percolation_centrality
+    from networkx_spark.graph import Graph
+    edges = [(0, 1), (1, 2), (2, 3), (0, 2), (3, 0), (1, 4), (4, 3)]
+    states = {0: 0.9, 1: 0.1, 2: 0.4, 3: 0.7, 4: 0.3}
+    g = Graph.from_edge_list(spark, edges, directed=True)
+    pc = percolation_centrality(g, states)
+    return pc.select(F.col("id").cast("long").alias("id"),
+                     F.round("percolation", 6).alias("percolation"))
+
+
+SQL_PERCOLATION = """
+SELECT id::BIGINT AS id, percolation::DOUBLE AS percolation FROM (VALUES
+(0, 0.777778), (1, 0.289855), (2, 0.166667), (3, 0.431373),
+(4, 0.015873)) AS t(id, percolation)
+"""
+
+
 # reference nx.community.kernighan_lin_bisection(karate, seed=0)
 SQL_KERNIGHAN_LIN = """
 SELECT id::BIGINT AS id, side::BIGINT AS side FROM (VALUES
@@ -1506,6 +1526,7 @@ QUERIES = {
     "dispersion_6": (q_dispersion, SQL_DISPERSION),
     "topological_indices_karate": (q_topological_indices, _indices_sql()),
     "kernighan_lin_karate": (q_kernighan_lin, SQL_KERNIGHAN_LIN),
+    "percolation_web5": (q_percolation, SQL_PERCOLATION),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
