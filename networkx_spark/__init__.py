@@ -239,3 +239,6 @@ from networkx_spark.algorithms.distance_measures import (
     degree_distance_indices, gutman_index, schultz_index)
 from networkx_spark.algorithms.kernighan_lin import kernighan_lin_bisection
 from networkx_spark.algorithms.percolation import percolation_centrality
+from networkx_spark.algorithms.group import (
+    group_closeness_centrality, group_degree_centrality,
+    group_in_degree_centrality, group_out_degree_centrality)

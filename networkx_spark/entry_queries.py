@@ -814,6 +814,24 @@ SELECT id::BIGINT AS id, percolation::DOUBLE AS percolation FROM (VALUES
 """
 
 
+def q_group_centrality(spark, sf_dir):
+    """Group closeness + group degree of the hub pair {0, 33} on the
+    karate club — oracle = reference values at authoring time."""
+    from networkx_spark.algorithms.group import (
+        group_closeness_centrality, group_degree_centrality)
+    from networkx_spark.generators import karate_club_graph
+    g = karate_club_graph(spark)
+    return spark.createDataFrame(
+        [(round(group_closeness_centrality(g, {0, 33}), 6),
+          round(group_degree_centrality(g, {0, 33}), 6))],
+        "group_closeness double, group_degree double")
+
+
+SQL_GROUP_CENTRALITY = """
+SELECT 0.914286::DOUBLE AS group_closeness, 0.90625::DOUBLE AS group_degree
+"""
+
+
 # reference nx.community.kernighan_lin_bisection(karate, seed=0)
 SQL_KERNIGHAN_LIN = """
 SELECT id::BIGINT AS id, side::BIGINT AS side FROM (VALUES
@@ -1527,6 +1545,7 @@ QUERIES = {
     "topological_indices_karate": (q_topological_indices, _indices_sql()),
     "kernighan_lin_karate": (q_kernighan_lin, SQL_KERNIGHAN_LIN),
     "percolation_web5": (q_percolation, SQL_PERCOLATION),
+    "group_centrality_karate": (q_group_centrality, SQL_GROUP_CENTRALITY),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
