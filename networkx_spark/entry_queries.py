@@ -832,6 +832,34 @@ SELECT 0.914286::DOUBLE AS group_closeness, 0.90625::DOUBLE AS group_degree
 """
 
 
+def q_double_edge_swap(spark, sf_dir):
+    """Degree-preserving rewiring of the karate club (seed=42, 20 swaps),
+    reproducing the reference's RNG call sequence exactly — oracle =
+    reference output edge list at authoring time."""
+    from networkx_spark.algorithms.swap import double_edge_swap
+    from networkx_spark.generators import karate_club_graph
+    h = double_edge_swap(karate_club_graph(spark), nswap=20,
+                         max_tries=1000, seed=42)
+    return (h.edges.select(F.col("src").cast("long").alias("src"),
+                           F.col("dst").cast("long").alias("dst")))
+
+
+SQL_DOUBLE_EDGE_SWAP = """
+SELECT src::BIGINT AS src, dst::BIGINT AS dst FROM (VALUES
+(0, 1), (0, 2), (0, 4), (0, 5), (0, 6), (0, 8), (0, 10), (0, 11), (0, 13),
+(0, 17), (0, 22), (0, 24), (0, 25), (0, 29), (0, 31), (0, 32), (1, 2),
+(1, 3), (1, 7), (1, 17), (1, 19), (1, 21), (1, 23), (1, 30), (2, 8),
+(2, 9), (2, 12), (2, 13), (2, 20), (2, 23), (2, 32), (2, 33), (3, 7),
+(3, 13), (3, 19), (3, 23), (3, 32), (4, 6), (4, 10), (5, 6), (5, 10),
+(5, 16), (6, 32), (7, 32), (7, 33), (8, 13), (8, 32), (8, 33), (9, 33),
+(12, 27), (13, 27), (14, 32), (14, 33), (15, 30), (15, 33), (16, 33),
+(18, 29), (18, 33), (19, 33), (20, 32), (21, 23), (22, 33), (23, 33),
+(24, 25), (24, 31), (25, 31), (26, 29), (26, 33), (27, 28), (27, 32),
+(28, 31), (28, 33), (29, 33), (30, 32), (30, 33), (31, 32), (31, 33),
+(32, 33)) AS t(src, dst)
+"""
+
+
 # reference nx.community.kernighan_lin_bisection(karate, seed=0)
 SQL_KERNIGHAN_LIN = """
 SELECT id::BIGINT AS id, side::BIGINT AS side FROM (VALUES
@@ -1546,6 +1574,7 @@ QUERIES = {
     "kernighan_lin_karate": (q_kernighan_lin, SQL_KERNIGHAN_LIN),
     "percolation_web5": (q_percolation, SQL_PERCOLATION),
     "group_centrality_karate": (q_group_centrality, SQL_GROUP_CENTRALITY),
+    "double_edge_swap_karate": (q_double_edge_swap, SQL_DOUBLE_EDGE_SWAP),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
