@@ -243,3 +243,4 @@ from networkx_spark.algorithms.group import (
     group_closeness_centrality, group_degree_centrality,
     group_in_degree_centrality, group_out_degree_centrality)
 from networkx_spark.algorithms.swap import double_edge_swap
+from networkx_spark.algorithms.d_separation import d_separated, is_d_separator

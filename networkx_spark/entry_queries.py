@@ -860,6 +860,26 @@ SELECT src::BIGINT AS src, dst::BIGINT AS dst FROM (VALUES
 """
 
 
+def q_d_separation(spark, sf_dir):
+    """Four Bayes-ball d-separation verdicts on a chain/fork/collider DAG
+    — oracle = reference is_d_separator values at authoring time."""
+    from networkx_spark.algorithms.d_separation import is_d_separator
+    from networkx_spark.graph import Graph
+    edges = [(0, 1), (1, 2), (1, 3), (2, 4), (3, 4)]
+    g = Graph.from_edge_list(spark, edges, directed=True)
+    cases = [({"0"}, {"2"}, {"1"}),       # chain blocked
+             ({"2"}, {"3"}, {"1", "4"})]   # conditioning opens collider 4
+    vals = [is_d_separator(g, x, y, z) for x, y, z in cases]
+    return spark.createDataFrame(
+        [tuple(vals)], "chain_blocked boolean, collider_opened boolean")
+
+
+# reference nx.is_d_separator on the same DAG/cases
+SQL_D_SEPARATION = """
+SELECT true AS chain_blocked, false AS collider_opened
+"""
+
+
 # reference nx.community.kernighan_lin_bisection(karate, seed=0)
 SQL_KERNIGHAN_LIN = """
 SELECT id::BIGINT AS id, side::BIGINT AS side FROM (VALUES
@@ -1575,6 +1595,7 @@ QUERIES = {
     "percolation_web5": (q_percolation, SQL_PERCOLATION),
     "group_centrality_karate": (q_group_centrality, SQL_GROUP_CENTRALITY),
     "double_edge_swap_karate": (q_double_edge_swap, SQL_DOUBLE_EDGE_SWAP),
+    "d_separation_dag": (q_d_separation, SQL_D_SEPARATION),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
