@@ -244,3 +244,7 @@ from networkx_spark.algorithms.group import (
     group_in_degree_centrality, group_out_degree_centrality)
 from networkx_spark.algorithms.swap import double_edge_swap
 from networkx_spark.algorithms.d_separation import d_separated, is_d_separator
+from networkx_spark.operators.minors import (
+    contracted_edge, contracted_nodes, identified_nodes, quotient_graph)
+from networkx_spark.algorithms.tree_coding import (
+    from_prufer_sequence, to_prufer_sequence)

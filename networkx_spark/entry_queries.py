@@ -880,6 +880,30 @@ SELECT true AS chain_blocked, false AS collider_opened
 """
 
 
+def q_quotient_graph(spark, sf_dir):
+    """Quotient of a 5-cycle-plus-chord by a 3-block partition (blocks
+    labeled by min member; weight = crossing-edge count) — oracle =
+    reference nx.quotient_graph structure at authoring time."""
+    from networkx_spark.operators.minors import quotient_graph
+    from networkx_spark.graph import Graph
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 0), (1, 4)]
+    g = Graph.from_edge_list(spark, edges, directed=False)
+    part = spark.createDataFrame(
+        [("0", "a"), ("1", "a"), ("2", "b"), ("3", "b"), ("4", "c")],
+        "id string, block string")
+    q = quotient_graph(g, part)
+    return q.edges.select(F.col("src").cast("long").alias("src"),
+                          F.col("dst").cast("long").alias("dst"),
+                          F.col("weight").cast("long").alias("crossings"))
+
+
+SQL_QUOTIENT = """
+SELECT src::BIGINT AS src, dst::BIGINT AS dst,
+       crossings::BIGINT AS crossings FROM (VALUES
+(0, 2, 1), (2, 4, 1), (0, 4, 2)) AS t(src, dst, crossings)
+"""
+
+
 # reference nx.community.kernighan_lin_bisection(karate, seed=0)
 SQL_KERNIGHAN_LIN = """
 SELECT id::BIGINT AS id, side::BIGINT AS side FROM (VALUES
@@ -1596,6 +1620,7 @@ QUERIES = {
     "group_centrality_karate": (q_group_centrality, SQL_GROUP_CENTRALITY),
     "double_edge_swap_karate": (q_double_edge_swap, SQL_DOUBLE_EDGE_SWAP),
     "d_separation_dag": (q_d_separation, SQL_D_SEPARATION),
+    "quotient_graph_blocks": (q_quotient_graph, SQL_QUOTIENT),
     "modularity_fixed": (q_modularity_fixed, SQL_MODULARITY),
     "eigenvector": (q_eigenvector, SQL_EIGENVECTOR),
     "katz": (q_katz, SQL_KATZ),
