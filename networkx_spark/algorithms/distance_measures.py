@@ -303,6 +303,8 @@ def _degree_distance_sum(g: Graph, combine, max_depth: int) -> float:
         raise ValueError("Schultz/Gutman indices are undirected-only "
                          "(reference raises NetworkXNotImplemented)")
     n = g.number_of_vertices()
+    if n <= 1:
+        return 0.0  # trivially connected, empty pair sum (reference: 0.0)
     deg = g.degrees()
     dists = _pair_distances(g, max_depth)
     row = (dists
@@ -325,6 +327,8 @@ def degree_distance_indices(g: Graph,
         raise ValueError("Schultz/Gutman indices are undirected-only "
                          "(reference raises NetworkXNotImplemented)")
     n = g.number_of_vertices()
+    if n <= 1:
+        return 0.0, 0.0  # trivially connected, empty pair sum
     deg = g.degrees()
     dists = _pair_distances(g, max_depth)
     row = (dists

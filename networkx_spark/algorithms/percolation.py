@@ -49,7 +49,12 @@ def percolation_centrality(g: Graph, states: DataFrame | dict,
           .groupBy(ID)
           .agg(F.sum(F.col("delta") * F.col("_xs")
                      / (F.lit(sum_x) - F.col("_xw"))).alias("_p")))
-    scale = 1.0 / (n - 2) if n > 2 else 1.0
+    if n <= 2:
+        # reference: 1/(n-2) rescale raises ZeroDivisionError for n <= 2
+        raise ZeroDivisionError(
+            "percolation_centrality is undefined for graphs with n <= 2 "
+            "(reference divides by n - 2)")
+    scale = 1.0 / (n - 2)
     return (g.vertices().select(F.col(ID).cast("string").alias(ID))
             .join(pc, ID, "left")
             .select(ID, (F.coalesce("_p", F.lit(0.0)) * F.lit(scale))

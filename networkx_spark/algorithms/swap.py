@@ -33,7 +33,12 @@ def double_edge_swap(g: Graph, nswap: int = 1, max_tries: int = 100,
                      seed: int | None = None,
                      max_edges: int = 5_000_000) -> Graph:
     """A new :class:`Graph` with ``nswap`` degree-preserving swaps
-    applied (``swap.py:118``)."""
+    applied (``swap.py:118``).
+
+    Loop-free graphs only: a self-loop enters the reference's degree CDF
+    and neighbor lists, so its RNG call sequence diverges from this
+    kernel's — rather than silently break the seeded exact-parity
+    contract, self-loop input raises."""
     if g.directed:
         raise ValueError("double_edge_swap is undirected-only "
                          "(reference raises NetworkXError; use the "
@@ -49,6 +54,13 @@ def double_edge_swap(g: Graph, nswap: int = 1, max_tries: int = 100,
             f"edges > max_edges={max_edges} — use the seeded generators "
             "for null models at scale")
 
+    if g.edges.filter(F.col(SRC).cast("string")
+                      == F.col(DST).cast("string")).limit(1).count():
+        raise ValueError(
+            "double_edge_swap requires a loop-free graph: self-loops enter "
+            "the reference's degree CDF and adjacency, so seeded RNG parity "
+            "cannot hold here — remove self-loops first "
+            "(graph.remove_self_loops)")
     nodes = sorted((str(r[ID]) for r in g.vertices().collect()), key=_key)
     if len(nodes) < 4:
         raise ValueError("Graph has fewer than four nodes "

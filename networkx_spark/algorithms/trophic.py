@@ -58,7 +58,15 @@ def trophic_levels(g: Graph, weight: bool = True, tol: float = 1e-12,
     runner = SuperstepRunner(None, name="trophic", keep_scratch=2)
     try:
       with fixed_plan(spark):
+        if basal.limit(1).count() == 0 and verts.limit(1).count() > 0:
+            # reference: LinAlgError on the singular (I - p) -> NetworkXError
+            raise ValueError(
+                "Trophic levels are only defined for graphs where every "
+                "node has a path from a basal node (no basal node exists; "
+                "reference NetworkXError on singular matrix)")
         x = runner.cut(nonbasal.select(ID, F.lit(1.0).alias("x")))
+        prev_resid = float("inf")
+        stalled = 0
         for _ in range(max_iter):
             scat = (x.join(p, x[ID] == p[SRC])
                     .groupBy(F.col(DST).alias(ID))
@@ -71,8 +79,19 @@ def trophic_levels(g: Graph, weight: bool = True, tol: float = 1e-12,
                    .observe(obs, F.max(F.abs(F.col("x") - F.col("_old")))
                             .alias("resid")))
             x = runner.cut(nxt.select(ID, "x"))
-            if float(obs.get["resid"] or 0.0) < tol:
+            resid = float(obs.get["resid"] or 0.0)
+            if resid < tol:
                 break
+            # a sub-web with no basal influence keeps the Jacobi residual
+            # from contracting (spectral radius 1); a few flat supersteps
+            # are proof of singularity — fail in seconds, not max_iter jobs
+            stalled = stalled + 1 if resid >= prev_resid * (1.0 - 1e-9) else 0
+            prev_resid = resid
+            if stalled >= 5:
+                raise ValueError(
+                    "Trophic levels are only defined for graphs where every "
+                    "node has a path from a basal node (stalled residual "
+                    f"{resid:g}; reference NetworkXError on singular matrix)")
         else:
             raise ValueError(
                 "Trophic levels are only defined for graphs where every "

@@ -15,7 +15,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from networkx_spark.graph import Graph
-from networkx_spark.pipeline.dedup import MERSENNE31, MINHASH_AB
+from networkx_spark.pipeline.dedup import (DEFAULT_BANDS, DEFAULT_NUM_HASHES,
+                                           MERSENNE31, minhash_ab)
 
 MOD = 997          # src vertex-fold modulus for the derived graph
 DST_MOD = 1201     # dst modulus > MOD: ids in [MOD, DST_MOD) are dangling sinks
@@ -1311,12 +1312,17 @@ sh AS (SELECT DISTINCT doc_id,
 """
 
 
-def _minhash_sql(k: int = 3) -> str:
-    hm = f"(('0x' || substr(md5(shingle), 1, 15))::BIGINT % {MERSENNE31})"
+def _minhash_sql(k: int = 3, num_hashes: int = DEFAULT_NUM_HASHES,
+                 seed: int = 0) -> str:
+    """Seed-derived constants regenerated with the same splitmix64 as the
+    engine (``dedup.minhash_ab``) — identical a/b pairs on both sides."""
     aggs = ", ".join(
-        f"min(({a} * {hm} + {b}) % {MERSENNE31}) AS mh_{i}"
-        for i, (a, b) in enumerate(MINHASH_AB))
-    return f"WITH {_shingle_sql(k)} SELECT doc_id, {aggs} FROM sh GROUP BY doc_id"
+        f"min(({a} * hm + {b}) % {MERSENNE31}) AS mh_{i}"
+        for i, (a, b) in enumerate(minhash_ab(num_hashes, seed)))
+    return (f"WITH {_shingle_sql(k)}, "
+            f"shm AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))"
+            f"::BIGINT % {MERSENNE31} AS hm FROM sh) "
+            f"SELECT doc_id, {aggs} FROM shm GROUP BY doc_id")
 
 
 SQL_MINHASH = _minhash_sql()
@@ -1368,10 +1374,12 @@ def q_lsh_candidates(spark, sf_dir):
     return lsh_candidate_pairs(minhash_signatures(load(spark, sf_dir, "documents"), k=3))
 
 
-def _lsh_sql(k: int = 3, bands: int = 4) -> str:
+def _lsh_sql(k: int = 3, bands: int = DEFAULT_BANDS,
+             num_hashes: int = DEFAULT_NUM_HASHES) -> str:
     """SQL twin of ``lsh_candidate_pairs``: same signatures, same band-key
-    concatenation, same a<b distinct pair join."""
-    nh = len(MINHASH_AB)
+    concatenation, same a<b distinct pair join (no bucket cap — the gate
+    corpus has no bucket near the engine's default guard)."""
+    nh = num_hashes
     rpb = nh // bands
     band_selects = []
     for b in range(bands):

@@ -82,10 +82,12 @@ def quotient_graph(g: Graph, partition: DataFrame,
     dup = m.groupBy(ID).count().filter("count > 1").limit(1).count()
     verts = g.vertices().select(F.col(ID).cast("string").alias(ID))
     missing = verts.join(m, ID, "anti").limit(1).count()
-    if dup or missing:
-        raise ValueError("each vertex must belong to exactly one block "
+    extra = m.join(verts, ID, "anti").limit(1).count()
+    if dup or missing or extra:
+        raise ValueError("each vertex must belong to exactly one block and "
+                         "every mapping row must name a graph vertex "
                          "(reference NetworkXException: not a valid "
-                         "partition)")
+                         "partition of the nodes of G)")
     lab = m.groupBy("_b").agg(F.min(ID).alias("_lab"))
     mm = F.broadcast(m.join(lab, "_b").select(ID, "_lab"))
     e = (g.edges.select(F.col(SRC).cast("string").alias(SRC),

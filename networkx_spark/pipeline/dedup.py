@@ -22,17 +22,52 @@ correctness oracle.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# fixed affine-hash constants (seed-derived once, shared with the SQL oracle)
+log = logging.getLogger(__name__)
+
 MERSENNE31 = (1 << 31) - 1
+_M64 = (1 << 64) - 1
+
+# legacy fixed 8-pair table (round ≤ 4 goldens); new code derives wider
+# constant sets from a seed via minhash_ab()
 MINHASH_AB = [
     (1203114875, 613423303), (1589400307, 907716109), (600017753, 1394484313),
     (368374639, 1840116257), (931675355, 279855217), (1653689561, 1989231199),
     (1723403349, 132995269), (484882573, 1326009343),
 ]
-DEFAULT_BANDS = 4  # 8 hashes → 4 bands × 2 rows
+
+
+def _splitmix64(x: int) -> int:
+    """Scalar splitmix64 finalizer (same mix as generators._splitmix64)."""
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def minhash_ab(num_hashes: int = 64, seed: int = 0) -> list[tuple[int, int]]:
+    """``num_hashes`` seed-derived affine pairs (a, b) mod 2³¹−1, a ≥ 1.
+
+    Pure arithmetic on both engines, so the DuckDB oracle regenerates the
+    identical constants (``entry_queries._minhash_sql``).  At threshold 0.8
+    the default 64 hashes / 16×4 banding gives candidate recall
+    1−(1−s⁴)¹⁶ ≈ 0.9998 at s = 0.8, vs ~0.39 for the old fixed 8/4×2."""
+    out = []
+    for i in range(num_hashes):
+        base = (seed & _M64) * 0x9E3779B97F4A7C15 + (i + 1) * 0x100000001B3
+        a = _splitmix64(base & _M64) % (MERSENNE31 - 1) + 1
+        b = _splitmix64((base + 0x632BE59BD9B4E019) & _M64) % MERSENNE31
+        out.append((a, b))
+    return out
+
+
+DEFAULT_NUM_HASHES = 64
+DEFAULT_BANDS = 16           # 64 hashes → 16 bands × 4 rows
+DEFAULT_MAX_BUCKET = 1_000   # hot-bucket guard on banded self-joins
 
 
 def _norm_text(col):
@@ -84,24 +119,59 @@ def shingle_hashes(sh: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(docs: DataFrame, k: int = 3,
-                       num_hashes: int = len(MINHASH_AB)) -> DataFrame:
+                       num_hashes: int = DEFAULT_NUM_HASHES,
+                       seed: int = 0,
+                       ab: list[tuple[int, int]] | None = None) -> DataFrame:
     """(doc_id, mh_0..mh_{n-1}): column-per-hash signature (column layout
-    keeps the band join free of array serde)."""
+    keeps the band join free of array serde).  Constants are seed-derived
+    (:func:`minhash_ab`); pass ``ab`` explicitly to pin a legacy table."""
+    if ab is None:
+        ab = minhash_ab(num_hashes, seed)
     hs = shingle_hashes(shingles(docs, k))
     base = hs.withColumn("hm", F.col("h") % F.lit(MERSENNE31))
     aggs = [
         F.min((F.lit(a) * F.col("hm") + F.lit(b)) % F.lit(MERSENNE31)).alias(f"mh_{i}")
-        for i, (a, b) in enumerate(MINHASH_AB[:num_hashes])
+        for i, (a, b) in enumerate(ab[:num_hashes])
     ]
     return base.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(sig: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame:
+def _guard_hot_buckets(buckets: DataFrame, keys: list[str],
+                       max_bucket_size: int | None, what: str) -> DataFrame:
+    """Drop buckets larger than ``max_bucket_size`` before a per-bucket
+    self-join (a degenerate corpus — e.g. thousands of boilerplate docs
+    with identical signatures — would otherwise emit B² pairs from one
+    bucket).  Never silent: dropped buckets are counted and logged.  Docs
+    in a dropped bucket can still pair through their other bands, and
+    identical texts are caught upstream by exact_duplicates."""
+    if max_bucket_size is None:
+        return buckets
+    sizes = buckets.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+    hot = sizes.filter(F.col("_bsz") > max_bucket_size).cache()
+    stats = hot.agg(F.count(F.lit(1)).alias("n"),
+                    F.max("_bsz").alias("mx"),
+                    F.sum("_bsz").alias("rows")).collect()[0]
+    if stats["n"]:
+        log.warning(
+            "%s: dropped %d hot bucket(s) (> %d members, largest %d, "
+            "%d member rows total) from candidate generation; pairs inside "
+            "them are NOT emitted — raise max_bucket_size or dedup exact "
+            "duplicates first if that recall matters",
+            what, stats["n"], max_bucket_size, stats["mx"], stats["rows"])
+        return buckets.join(hot.select(*keys), keys, "anti")
+    hot.unpersist()
+    return buckets
+
+
+def lsh_candidate_pairs(sig: DataFrame, bands: int = DEFAULT_BANDS,
+                        max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                        ) -> DataFrame:
     """(a, b) candidate pairs (a < b) sharing at least one LSH band.
 
     Bands are unioned, then pairs come from a self-join per bucket — the
-    classic band trick; bucket sizes are small by construction so the join
-    fan-out stays bounded (hot buckets would indicate degenerate text)."""
+    classic band trick.  Buckets larger than ``max_bucket_size`` (default
+    1000) are dropped with a logged warning instead of joining
+    quadratically; ``None`` disables the guard (exact oracle twin)."""
     n = len([c for c in sig.columns if c.startswith("mh_")])
     rows_per_band = n // bands
     buckets = None
@@ -110,6 +180,8 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = DEFAULT_BANDS) -> DataFrame
         part = sig.select("doc_id", F.lit(b).alias("band"),
                           F.concat_ws("_", *cols).alias("key"))
         buckets = part if buckets is None else buckets.unionByName(part)
+    buckets = _guard_hot_buckets(buckets, ["band", "key"], max_bucket_size,
+                                 "lsh_candidate_pairs")
     left = buckets.select("band", "key", F.col("doc_id").alias("a"))
     right = buckets.select("band", "key", F.col("doc_id").alias("b"))
     return (left.join(right, ["band", "key"])
@@ -162,9 +234,14 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.0,
 
 
 def near_duplicates_minhash(docs: DataFrame, k: int = 3, threshold: float = 0.8,
-                            bands: int = DEFAULT_BANDS) -> DataFrame:
+                            bands: int = DEFAULT_BANDS,
+                            num_hashes: int = DEFAULT_NUM_HASHES,
+                            seed: int = 0,
+                            max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                            ) -> DataFrame:
     """LSH candidates verified by exact Jaccard — the full scale pipeline."""
-    cand = lsh_candidate_pairs(minhash_signatures(docs, k), bands)
+    cand = lsh_candidate_pairs(minhash_signatures(docs, k, num_hashes, seed),
+                               bands, max_bucket_size)
     return jaccard_pairs(docs, k, threshold, candidates=cand)
 
 
@@ -200,12 +277,16 @@ N_SIMHASH_BANDS = 8  # 64-bit fingerprint → 8 byte-bands
 
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
-                            k: int = 1) -> DataFrame:
+                            k: int = 1,
+                            max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                            ) -> DataFrame:
     """(a, b, hamming) pairs with Hamming distance ≤ ``max_hamming``.
 
     Candidate generation blocks on 8 byte-bands of the 64-bit fingerprint:
     two fingerprints within Hamming distance d ≤ 7 must agree exactly on
-    ≥ 8 − d bands, so any ``max_hamming`` ≤ 7 is recall-lossless here."""
+    ≥ 8 − d bands, so any ``max_hamming`` ≤ 7 is recall-lossless here.
+    Byte-band buckets above ``max_bucket_size`` are dropped with a logged
+    warning (see :func:`lsh_candidate_pairs`)."""
     if max_hamming > N_SIMHASH_BANDS - 1:
         raise ValueError(f"max_hamming > {N_SIMHASH_BANDS - 1} would lose "
                          "recall with byte-band blocking")
@@ -215,6 +296,8 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
         p = sig.select("doc_id", F.lit(i).alias("band"),
                        F.shiftright("simhash", i * 8).bitwiseAND(F.lit(255)).alias("key"))
         bands = p if bands is None else bands.unionByName(p)
+    bands = _guard_hot_buckets(bands, ["band", "key"], max_bucket_size,
+                               "simhash_near_duplicates")
     cand = (bands.select("band", "key", F.col("doc_id").alias("a"))
             .join(bands.select("band", "key", F.col("doc_id").alias("b")), ["band", "key"])
             .filter(F.col("a") < F.col("b")).select("a", "b").distinct())
@@ -228,7 +311,11 @@ def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
 
 def duplicate_clusters(docs: DataFrame, k: int = 3, threshold: float = 0.8,
                        bands: int = DEFAULT_BANDS,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       num_hashes: int = DEFAULT_NUM_HASHES,
+                       seed: int = 0,
+                       max_bucket_size: int | None = DEFAULT_MAX_BUCKET
+                       ) -> DataFrame:
     """(doc_id, cluster, keep): transitive near-duplicate clusters — the
     end-to-end dedup pipeline a training-data build runs.
 
@@ -248,7 +335,8 @@ def duplicate_clusters(docs: DataFrame, k: int = 3, threshold: float = 0.8,
     from networkx_spark.graph import Graph
 
     pairs = near_duplicates_minhash(docs, k=k, threshold=threshold,
-                                    bands=bands)
+                                    bands=bands, num_hashes=num_hashes,
+                                    seed=seed, max_bucket_size=max_bucket_size)
     g = Graph.from_edges(
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")),
         directed=False)

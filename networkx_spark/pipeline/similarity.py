@@ -140,14 +140,23 @@ def lsh_topk(emb: DataFrame, queries: DataFrame, k: int = 5, bits: int = 8,
 
 def embedding_near_duplicates(emb: DataFrame, threshold: float = 0.95,
                               bits: int = 8, id_col: str = "vec_id",
-                              vec_col: str = "embedding") -> DataFrame:
+                              vec_col: str = "embedding",
+                              max_bucket_size: int | None = 10_000
+                              ) -> DataFrame:
     """(a, b, cosine) pairs above ``threshold`` — embedding-cosine near-dup
     detection, bucketed by hyperplane sketch (near-identical vectors land in
-    the same bucket with high probability)."""
+    the same bucket with high probability).  Sketch buckets larger than
+    ``max_bucket_size`` are dropped with a logged warning — a degenerate
+    corpus (e.g. millions of zero/constant vectors collapsing into one
+    bucket) must not trigger a quadratic self-join; ``None`` disables."""
+    from networkx_spark.pipeline.dedup import _guard_hot_buckets
+
     sk = hyperplane_sketch(emb, bits, id_col=id_col, vec_col=vec_col)
     e = (emb.select(F.col(id_col).alias("vec_id"),
                     F.col(vec_col).cast("array<double>").alias("v"))
          .join(sk, "vec_id"))
+    e = _guard_hot_buckets(e, ["bucket"], max_bucket_size,
+                           "embedding_near_duplicates")
     pairs = (e.select("bucket", F.col("vec_id").alias("a"), F.col("v").alias("va"))
              .join(e.select("bucket", F.col("vec_id").alias("b"), F.col("v").alias("vb")),
                    "bucket")

@@ -47,11 +47,15 @@ def test_shingles_and_jaccard(spark, docs):
 def test_minhash_lsh_pipeline(spark, docs):
     # the empty doc 7 stays in the input: shingles() must drop it (a "" doc
     # has no k-grams), matching the SQL oracle's trim(text) <> '' filter
+    from networkx_spark.pipeline.dedup import DEFAULT_NUM_HASHES
     sig = minhash_signatures(docs, k=2)
-    assert sig.count() == 6 and len([c for c in sig.columns if c.startswith("mh_")]) == 8
+    assert (sig.count() == 6 and
+            len([c for c in sig.columns if c.startswith("mh_")])
+            == DEFAULT_NUM_HASHES)
     assert sig.filter("doc_id = 7").count() == 0
     # identical docs → identical signatures
-    s = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(8)) for r in sig.collect()}
+    s = {r.doc_id: tuple(r[f"mh_{i}"] for i in range(DEFAULT_NUM_HASHES))
+         for r in sig.collect()}
     assert s[1] == s[2] == s[6]
     cand = {(r.a, r.b) for r in lsh_candidate_pairs(sig).collect()}
     assert (1, 2) in cand and (1, 6) in cand
@@ -235,3 +239,96 @@ def test_multimodal_native_codecs(spark):
     jpg = synthesize_media(spark, 2, kind="image", codec="jpeg")
     with pytest.raises(Exception):
         decode_features(jpg, decoder="native").collect()
+
+
+def test_minhash_ab_seed_derived():
+    from networkx_spark.pipeline.dedup import MERSENNE31, minhash_ab
+    ab = minhash_ab(128, seed=0)
+    assert len(ab) == 128 and len(set(ab)) == 128
+    assert all(1 <= a < MERSENNE31 and 0 <= b < MERSENNE31 for a, b in ab)
+    assert minhash_ab(128, seed=0) == ab          # deterministic
+    assert minhash_ab(128, seed=1) != ab          # seed-sensitive
+    assert minhash_ab(64, seed=0) == ab[:64]      # prefix-stable
+
+
+def test_minhash_recall_s_curve(spark):
+    """Seeded corpus with known-similarity pairs: 64-hash/16x4 banding must
+    recall essentially all J~0.85 pairs while passing few J~0.2 pairs
+    (the S-curve the 8-hash table could not express at threshold 0.8)."""
+    from networkx_spark.pipeline.dedup import (lsh_candidate_pairs,
+                                               minhash_signatures)
+    rows = []
+    n_pairs = 40
+    for p in range(n_pairs):
+        base = [f"w{p}_{j}" for j in range(20)]
+        # high-sim partner: drop 2 tokens, add 2 new -> J = 18/22 ~ 0.82
+        high = base[:18] + [f"x{p}_0", f"x{p}_1"]
+        # low-sim partner: keep 7 of 20 -> J = 7/33 ~ 0.21
+        low = base[:7] + [f"y{p}_{j}" for j in range(13)]
+        rows.append((4 * p, " ".join(base)))
+        rows.append((4 * p + 1, " ".join(high)))
+        rows.append((4 * p + 2, " ".join(base)))  # unused id-spacing filler
+        rows.append((4 * p + 3, " ".join(low)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = {(r.a, r.b) for r in lsh_candidate_pairs(
+        minhash_signatures(docs, k=1)).collect()}
+    got_high = sum((4 * p, 4 * p + 1) in cand for p in range(n_pairs))
+    got_low = sum((4 * p, 4 * p + 3) in cand for p in range(n_pairs))
+    assert got_high >= int(0.95 * n_pairs), got_high
+    assert got_low <= int(0.35 * n_pairs), got_low
+
+
+def test_lsh_hot_bucket_guard_degenerate_corpus(spark, caplog):
+    """Thousands of near-identical boilerplate docs collapse into one LSH
+    bucket per band; the guard must drop those buckets (logged) instead of
+    emitting a quadratic pair blow-up."""
+    import logging
+    import time
+
+    from networkx_spark.pipeline.dedup import (lsh_candidate_pairs,
+                                               minhash_signatures,
+                                               simhash_near_duplicates)
+    n = 5000
+    rows = [(i, "lorem ipsum dolor sit amet boilerplate footer text")
+            for i in range(n)]
+    rows += [(n, "one genuinely unique document about spark engines"),
+             (n + 1, "one genuinely unique document about spark engines")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = minhash_signatures(docs, k=2)
+    t0 = time.time()
+    with caplog.at_level(logging.WARNING,
+                         logger="networkx_spark.pipeline.dedup"):
+        pairs = lsh_candidate_pairs(sig, max_bucket_size=100)
+        got = {(r.a, r.b) for r in pairs.collect()}
+    assert time.time() - t0 < 120
+    # the 5000-doc degenerate bucket is dropped...
+    assert len(got) <= 1
+    # ...but the pair outside it survives
+    assert (n, n + 1) in got
+    assert any("hot bucket" in r.message for r in caplog.records)
+
+    with caplog.at_level(logging.WARNING,
+                         logger="networkx_spark.pipeline.dedup"):
+        sh_pairs = simhash_near_duplicates(docs, max_hamming=2,
+                                           max_bucket_size=100)
+        sh = {(r.a, r.b) for r in sh_pairs.collect()}
+    assert (n, n + 1) in sh and len(sh) <= 1
+
+
+def test_embedding_near_duplicates_hot_bucket_guard(spark, caplog):
+    import logging
+
+    from networkx_spark.pipeline.similarity import embedding_near_duplicates
+    # 500 identical vectors -> one sketch bucket; cap drops it, pairs from
+    # the small healthy bucket survive
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(500)]
+    # same direction (scalar multiple) -> same sketch bucket by construction
+    rows += [(1000, [0.0, 1.0, 0.1, 0.0]), (1001, [0.0, 2.0, 0.2, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with caplog.at_level(logging.WARNING,
+                         logger="networkx_spark.pipeline.dedup"):
+        got = {(r.a, r.b) for r in embedding_near_duplicates(
+            emb, threshold=0.99, max_bucket_size=100).collect()}
+    assert (1000, 1001) in got
+    assert all(a >= 1000 for a, _ in got)
+    assert any("hot bucket" in r.message for r in caplog.records)
