@@ -235,3 +235,273 @@ def karate_club_graph(spark):
     """Zachary's karate club, 34 vertices / 78 edges (``social.py:15``)."""
     e = spark.createDataFrame(KARATE_EDGES, "src long, dst long")
     return _range_graph(spark, e)
+
+
+# -------------------------------------------- round 5: fixture generators
+def gnm_random_graph(spark, n: int, m: int, seed: int = 42,
+                     directed: bool = False, method: str = "hash"):
+    """G(n, m): uniformly random graph with exactly m edges
+    (``random_graphs.py:240``).
+
+    * ``method='hash'`` (default, distributed): rank all candidate pairs
+      by a seeded splitmix64 hash and keep the m smallest — a hash that is
+      uniform over pairs makes the kept set a uniform m-subset, with no
+      RNG state and the same graph at any parallelism (Θ(n²) candidates,
+      fixture scale; a TakeOrdered cut, no global sort materialized).
+    * ``method='reference'``: driver kernel replicating the reference's
+      exact ``seed.choice``/``has_edge`` rejection loop — graph-identical
+      to CPython networkx for the same seed (parity tests).
+    """
+    import pyspark.sql.functions as F
+
+    max_edges = n * (n - 1) if directed else n * (n - 1) // 2
+    if m >= max_edges:
+        return complete_graph(spark, n, directed)
+    v = spark.range(n).select(F.col("id"))
+    if method == "reference":
+        import random
+        rng = random.Random(seed)
+        edges, have = [], set()
+        nlist = list(range(n))
+        while len(edges) < m:
+            u, w = rng.choice(nlist), rng.choice(nlist)
+            if u == w or (u, w) in have:
+                continue
+            have.add((u, w))
+            if not directed:
+                have.add((w, u))
+            edges.append((u, w))
+        e = spark.createDataFrame(edges, "src long, dst long")
+        return _range_graph(spark, e, directed, vertices=v)
+
+    def gen(it):
+        for pdf in it:
+            k = pdf["id"].to_numpy(np.int64)
+            i, j = k // n, k % n
+            keep = (i != j) if directed else (i < j)
+            i, j, k = i[keep], j[keep], k[keep]
+            h = _h(seed, k, 23)
+            yield pd.DataFrame({"src": i, "dst": j, "h": h.astype(np.int64)})
+
+    pairs = spark.range(n * n).mapInPandas(
+        gen, schema="src long, dst long, h long")
+    import pyspark.sql.functions as F
+    e = pairs.orderBy("h", "src", "dst").limit(m).select("src", "dst")
+    return _range_graph(spark, e, directed, vertices=v)
+
+
+def barabasi_albert_graph(spark, n: int, m: int, seed: int = 42,
+                          max_n: int = 1_000_000):
+    """Barabási–Albert preferential attachment (``random_graphs.py:626``).
+
+    Preferential attachment is sequential by definition — every new
+    vertex's targets depend on the degree distribution the previous
+    vertices produced — so this is a capped driver kernel (the
+    double_edge_swap/CNM posture) replicating the reference's exact
+    control flow: star-graph start, ``repeated_nodes`` multiset,
+    ``_random_subset``'s ``rng.choice``-into-set loop (same
+    ``random.Random(seed)`` call sequence and set-iteration order), hence
+    graph-identical to the reference for the same seed.  For scale-ready
+    power-law fixtures use :func:`lfr_benchmark_graph` or ``web_edges``.
+    """
+    import random
+
+    if m < 1 or m >= n:
+        raise ValueError("Barabási–Albert network must have m >= 1 and "
+                         f"m < n, m = {m}, n = {n} (reference NetworkXError)")
+    if n > max_n:
+        raise ValueError(f"n = {n} > max_n = {max_n}: the BA chain is a "
+                         "sequential driver kernel; use lfr_benchmark_graph "
+                         "or web_edges for web-scale fixtures")
+    rng = random.Random(seed)
+    edges = [(0, k) for k in range(1, m + 1)]          # star_graph(m)
+    repeated = [0] * m + list(range(1, m + 1))         # degree-repeated list
+    source = m + 1
+    while source < n:
+        targets = set()
+        while len(targets) < m:
+            targets.add(rng.choice(repeated))
+        edges.extend((source, t) for t in targets)
+        repeated.extend(targets)
+        repeated.extend([source] * m)
+        source += 1
+    e = spark.createDataFrame(edges, "src long, dst long")
+    import pyspark.sql.functions as F
+    v = spark.range(n).select(F.col("id"))
+    return _range_graph(spark, e, vertices=v)
+
+
+def caveman_graph(spark, l: int, k: int):
+    """l disjoint k-cliques (``generators/community.py:23``) —
+    deterministic and fully distributed: vertex i belongs to cave i//k;
+    the clique edges are a bounded self-join within each cave."""
+    import pyspark.sql.functions as F
+    v = spark.range(l * k)
+    a = v.select(F.col("id").alias("src"), (F.col("id") / k).cast("long").alias("c"))
+    b = v.select(F.col("id").alias("dst"), (F.col("id") / k).cast("long").alias("c"))
+    e = (a.join(b, "c").filter(F.col("src") < F.col("dst"))
+         .select("src", "dst"))
+    return _range_graph(spark, e, vertices=v.select("id"))
+
+
+def connected_caveman_graph(spark, l: int, k: int):
+    """Caveman with one edge per cave rewired to the previous cave
+    (``community.py:70``): remove (i·k, i·k+1), add
+    (i·k, (i·k − 1) mod l·k) — the reference's exact rewiring, so graphs
+    match edge-for-edge."""
+    import pyspark.sql.functions as F
+    if k < 2:
+        raise ValueError("The size of cliques in a connected caveman graph "
+                         "must be at least 2 (reference NetworkXError)")
+    g = caveman_graph(spark, l, k)
+    drop = (g.edges.sparkSession.range(l)
+            .select((F.col("id") * k).alias("src"),
+                    (F.col("id") * k + 1).alias("dst")))
+    e = g.edges.select("src", "dst").join(drop, ["src", "dst"], "anti")
+    ring = (g.edges.sparkSession.range(l)
+            .select((F.col("id") * k).alias("a"),
+                    F.pmod(F.col("id") * k - 1, F.lit(l * k)).alias("b"))
+            .select(F.least("a", "b").alias("src"),
+                    F.greatest("a", "b").alias("dst")))
+    return _range_graph(spark, e.unionByName(ring).distinct(),
+                        vertices=g.vertices())
+
+
+def ring_of_cliques(spark, num_cliques: int, clique_size: int):
+    """num_cliques cliques joined in a ring (``community.py:388``): clique
+    i's SECOND vertex (i·k + 1) connects to clique (i+1)'s first
+    ((i+1)·k mod n·k) — the reference's exact attachment, so graphs
+    match."""
+    import pyspark.sql.functions as F
+    if num_cliques < 2:
+        raise ValueError("A ring of cliques must have at least two cliques "
+                         "(reference NetworkXError)")
+    if clique_size < 2:
+        raise ValueError("The cliques must have at least two nodes "
+                         "(reference NetworkXError)")
+    g = caveman_graph(spark, num_cliques, clique_size)
+    spark_ = g.edges.sparkSession
+    n_all = num_cliques * clique_size
+    link = (spark_.range(num_cliques)
+            .select((F.col("id") * clique_size + 1).alias("a"),
+                    F.pmod((F.col("id") + 1) * clique_size,
+                           F.lit(n_all)).alias("b"))
+            .select(F.least("a", "b").alias("src"),
+                    F.greatest("a", "b").alias("dst")))
+    return _range_graph(spark, g.edges.select("src", "dst")
+                        .unionByName(link).distinct(),
+                        vertices=g.vertices())
+
+
+def lfr_benchmark_graph(spark, n: int, tau1: float = 2.5, tau2: float = 1.5,
+                        mu: float = 0.1, min_degree: int = 3,
+                        max_degree: int | None = None,
+                        min_community: int = 10,
+                        max_community: int | None = None,
+                        seed: int = 42, max_n: int = 5_000_000):
+    """LFR community benchmark (``generators/community.py:810``) with
+    planted ground truth: returns ``(Graph, communities)`` where
+    ``communities`` is (id, community).
+
+    Independent implementation of the published construction (Lancichinetti,
+    Fortunato & Radicchi 2008), not a port of the reference's sampler:
+
+    * degrees ~ discrete power law exponent ``tau1`` on
+      [min_degree, max_degree] via inverse-CDF over seeded hash uniforms,
+    * community sizes ~ power law exponent ``tau2`` on
+      [min_community, max_community], greedily filled to cover n,
+    * each vertex splits its stubs (1−mu) intra / mu inter and edges come
+      from configuration-model pairing of the two stub pools (seeded
+      shuffles; self-loops and duplicates dropped — the standard LFR
+      simplification, so realized mu is approximate like the reference's),
+    * the node→community assignment guarantees intra-degree < community
+      size (vertices are placed into the smallest community that fits).
+
+    The graph differs edge-for-edge from CPython networkx (different RNG),
+    like ``gnp_random_graph``; tests assert the STRUCTURAL contract
+    (partition cover, mixing fraction, degree bounds, seed determinism).
+    Sequence construction is driver-side numpy (O(n) ints); the edge
+    table itself is built as a DataFrame — fixture-scale by design,
+    capped at ``max_n``.
+    """
+    if n > max_n:
+        raise ValueError(f"n = {n} > max_n: LFR sequence construction is "
+                         "driver-side; use web_edges at protocol scale")
+    if not 0 <= mu <= 1:
+        raise ValueError("mu must be in [0, 1] (reference NetworkXError)")
+    rng = np.random.default_rng(seed)
+    max_degree = max_degree or max(min_degree + 1, int(round(n ** 0.5)))
+    max_community = max_community or max(min_community + 1,
+                                         int(round(n ** 0.6)))
+
+    def _powerlaw(size, lo, hi, exponent):
+        ks = np.arange(lo, hi + 1, dtype=np.float64)
+        pdf = ks ** (-exponent)
+        cdf = np.cumsum(pdf) / pdf.sum()
+        u = rng.random(size)
+        return lo + np.searchsorted(cdf, u)
+
+    deg = _powerlaw(n, min_degree, max_degree, tau1).astype(np.int64)
+    if deg.sum() % 2:
+        deg[0] += 1
+    intra = np.round(deg * (1.0 - mu)).astype(np.int64)
+
+    sizes = []
+    while sum(sizes) < n:
+        sizes.append(int(_powerlaw(1, min_community,
+                                   max_community, tau2)[0]))
+    sizes[-1] -= sum(sizes) - n
+    if sizes[-1] < min_community and len(sizes) > 1:
+        sizes[-2] += sizes[-1]
+        sizes.pop()
+
+    # place high-intra-degree vertices first into the largest community
+    # that fits (intra-degree must stay < community size)
+    order = np.argsort(-intra, kind="stable")
+    csizes = np.array(sizes, dtype=np.int64)
+    room = csizes.copy()
+    comm = np.full(n, -1, dtype=np.int64)
+    for v in order:
+        ok = np.flatnonzero((room > 0) & (csizes > intra[v]))
+        if len(ok) == 0:  # degenerate parameters: clamp the intra demand
+            ok = np.flatnonzero(room > 0)
+            intra[v] = min(intra[v], csizes[ok].max() - 1)
+            ok = ok[csizes[ok] > intra[v]]
+        pick = ok[np.argmax(room[ok])]
+        comm[v] = pick
+        room[pick] -= 1
+
+    # configuration-model pairing, intra per community then inter globally
+    def _pair(stubs):
+        stubs = stubs[rng.permutation(len(stubs))]
+        if len(stubs) % 2:
+            stubs = stubs[:-1]
+        a, b = stubs[0::2], stubs[1::2]
+        keep = a != b
+        return a[keep], b[keep]
+
+    srcs, dsts = [], []
+    for c in range(len(sizes)):
+        members = np.flatnonzero(comm == c)
+        stubs = np.repeat(members, intra[members])
+        a, b = _pair(stubs)
+        srcs.append(a)
+        dsts.append(b)
+    inter_stubs = np.repeat(np.arange(n), deg - intra)
+    a, b = _pair(inter_stubs)
+    keep = comm[a] != comm[b]          # inter stubs must cross communities
+    srcs.append(a[keep])
+    dsts.append(b[keep])
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    lo, hi = np.minimum(s, d), np.maximum(s, d)
+    e = spark.createDataFrame(
+        pd.DataFrame({"src": lo, "dst": hi}).drop_duplicates(),
+        "src long, dst long")
+    import pyspark.sql.functions as F
+    v = spark.range(n).select(F.col("id"))
+    g = _range_graph(spark, e, vertices=v)
+    communities = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n), "community": comm}),
+        "id long, community long")
+    return g, communities

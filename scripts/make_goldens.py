@@ -53,12 +53,17 @@ def main() -> None:
 
     spark = get_spark("make-goldens", cores=8, shuffle_partitions=8)
     os.makedirs(GOLDEN_DIR, exist_ok=True)
-    jobs = [("mst_web400", lambda: _mst_reference(spark)),
-            ("matching_web400", lambda: q_maximal_matching(spark, "")),
-            ("label_propagation_web400", lambda: q_lpa(spark, "")),
-            ("asyn_lpa_web400", lambda: q_asyn_lpa(spark, "")),
-            ("louvain_web400", lambda: q_louvain(spark, "")),
-            ("fast_lpa_web400", lambda: q_fast_lpa(spark, "")),
+    from networkx_spark.entry_queries import (q_lfr_louvain,
+                                              q_weight_matching_approx)
+    jobs = [("mst_web200", lambda: _mst_reference(spark)),
+            ("weight_matching_web200",
+             lambda: q_weight_matching_approx(spark, "")),
+            ("lfr_louvain_200", lambda: q_lfr_louvain(spark, "")),
+            ("matching_web200", lambda: q_maximal_matching(spark, "")),
+            ("label_propagation_web200", lambda: q_lpa(spark, "")),
+            ("asyn_lpa_web200", lambda: q_asyn_lpa(spark, "")),
+            ("louvain_web200", lambda: q_louvain(spark, "")),
+            ("fast_lpa_web200", lambda: q_fast_lpa(spark, "")),
             ("asyn_fluidc_karate3", lambda: q_asyn_fluidc(spark, "")),
             # INPUT snapshot, not an output golden: the extraction oracle
             # re-derives edges from this raw html independently in DuckDB

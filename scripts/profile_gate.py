@@ -56,8 +56,15 @@ def main():
     for name, ts, td, n in rows:
         print(f"{ts + max(td, 0):8.2f}  spark={ts:7.2f} duck={td:6.2f}  {name}  ({n})")
     print(f"TOTAL {total:.1f}s for {len(rows)} queries")
+    payload = {n: {"spark": round(ts, 3), "duck": round(td, 3)}
+               for n, ts, td, _ in rows}
     with open("/tmp/gate_profile.json", "w") as f:
-        json.dump({n: {"spark": ts, "duck": td} for n, ts, td, _ in rows}, f)
+        json.dump(payload, f)
+    # committed cost snapshot driving the cheapest-first registry order
+    # (entry_queries._reorder_registry)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "networkx_spark", "gate_costs.json"), "w") as f:
+        json.dump(payload, f, indent=0, sort_keys=True)
 
 
 if __name__ == "__main__":
