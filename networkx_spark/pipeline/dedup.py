@@ -174,12 +174,18 @@ def lsh_candidate_pairs(sig: DataFrame, bands: int = DEFAULT_BANDS,
     quadratically; ``None`` disables the guard (exact oracle twin)."""
     n = len([c for c in sig.columns if c.startswith("mh_")])
     rows_per_band = n // bands
-    buckets = None
-    for b in range(bands):
-        cols = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
-        part = sig.select("doc_id", F.lit(b).alias("band"),
-                          F.concat_ws("_", *cols).alias("key"))
-        buckets = part if buckets is None else buckets.unionByName(part)
+    # ONE pass over the signature: a per-band union would recompute the
+    # 64-aggregation signature plan once per band (measured 16x blowup);
+    # explode emits all band keys from a single scan, cached because the
+    # guard + both join sides read it
+    bk = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat_ws("_", *[
+                     f"mh_{b * rows_per_band + r}"
+                     for r in range(rows_per_band)]).alias("key"))
+        for b in range(bands)])
+    buckets = (sig.select("doc_id", F.explode(bk).alias("_bk"))
+               .select("doc_id", "_bk.band", "_bk.key").cache())
     buckets = _guard_hot_buckets(buckets, ["band", "key"], max_bucket_size,
                                  "lsh_candidate_pairs")
     left = buckets.select("band", "key", F.col("doc_id").alias("a"))

@@ -778,3 +778,126 @@ def from_graph6_bytes(spark: SparkSession, raw: bytes) -> Graph:
     if n:
         g = g.add_vertices(spark.range(n).select(F.col("id")))
     return g
+
+
+# ----------------------------------------------------------- sparse6
+def to_sparse6_bytes(g: Graph, cap: int = 1_000_000) -> bytes:
+    """sparse6 encoding (``readwrite/sparse6.py:30`` ``_generate_sparse6_
+    bytes``): ':' + N(n) + a bit stream of (b, x) steps — b advances the
+    current vertex, x is a k-bit neighbor (k = bits of n−1) — padded with
+    1s (the small-k/n=2^k corner padded with 0 then 1s, which would
+    otherwise encode a spurious loop on n−1).  Byte-identical to the
+    reference for the same vertex order; edges with weight multiplicity
+    m > 1 are emitted m times (the multigraph round-trip).  Driver-side
+    capped artifact like graph6 — the distributed format is the edge
+    table."""
+    from networkx_spark.convert import _guard
+    if g.directed:
+        raise ValueError("sparse6 encodes undirected graphs")
+    _guard(g, cap)
+    verts = [r[ID] for r in g.vertices().orderBy(ID).collect()]
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    if n >= 2 ** 36:
+        raise ValueError("sparse6 is only defined if number of nodes is "
+                         "less than 2 ** 36 (reference ValueError)")
+    cols = g.edges.columns
+    mult = (F.col(WEIGHT).cast("long") if WEIGHT in cols else F.lit(1))
+    rows = g.edges.select(SRC, DST, F.greatest(mult, F.lit(1)).alias("_m")
+                          ).collect()
+    edges = []
+    for r in rows:
+        i, j = idx[r[SRC]], idx[r[DST]]
+        edges.extend([(max(i, j), min(i, j))] * int(r["_m"]))
+    edges.sort()
+    k = 1
+    while (1 << k) < n:
+        k += 1
+    bits: list[int] = []
+
+    def put(x: int, width: int) -> None:
+        bits.extend((x >> (width - 1 - s)) & 1 for s in range(width))
+
+    curv = 0
+    for v, u in edges:
+        if v == curv:
+            put(0, 1)
+            put(u, k)
+        elif v == curv + 1:
+            curv += 1
+            put(1, 1)
+            put(u, k)
+        else:
+            curv = v
+            put(1, 1)
+            put(v, k)
+            put(0, 1)
+            put(u, k)
+    pad = (-len(bits)) % 6
+    if k < 6 and n == (1 << k) and pad >= k and curv < n - 1:
+        put(0, 1)
+        bits.extend([1] * ((-len(bits)) % 6))
+    else:
+        bits.extend([1] * pad)
+    data = bytes(sum(b << (5 - s) for s, b in enumerate(bits[x:x + 6])) + 63
+                 for x in range(0, len(bits), 6))
+    return b">>sparse6<<:" + _g6_n(n) + data + b"\n"
+
+
+def from_sparse6_bytes(spark: SparkSession, raw: bytes) -> Graph:
+    """Decode sparse6 (``readwrite/sparse6.py:105`` ``from_sparse6_bytes``)
+    into an engine Graph with vertices 0..n-1; parallel encodings of an
+    edge come back as its ``weight`` multiplicity (the reference returns a
+    MultiGraph in that case)."""
+    s = raw.strip()
+    if s.startswith(b">>sparse6<<"):
+        s = s[11:]
+    if not s.startswith(b":"):
+        raise ValueError("Expected leading colon in sparse6 "
+                         "(reference NetworkXError)")
+    data = [c - 63 for c in s[1:]]
+    if any(c < 0 or c > 63 for c in data):
+        raise ValueError("each input character must be in range(63, 127)")
+    if data and data[0] == 63:
+        if data[1] == 63:
+            n = 0
+            for c in data[2:8]:
+                n = (n << 6) | c
+            data = data[8:]
+        else:
+            n = (data[1] << 12) | (data[2] << 6) | data[3]
+            data = data[4:]
+    else:
+        n, data = (data[0], data[1:]) if data else (0, [])
+    k = 1
+    while (1 << k) < n:
+        k += 1
+    stream = []
+    acc = 0
+    nbits = 0
+    for c in data:
+        acc = (acc << 6) | c
+        nbits += 6
+    # consume (1 + k)-bit records from the big-endian bit accumulator
+    pos = 0
+    edges = []
+    v = 0
+    while nbits - pos >= 1 + k:
+        b = (acc >> (nbits - pos - 1)) & 1
+        x = (acc >> (nbits - pos - 1 - k)) & ((1 << k) - 1)
+        pos += 1 + k
+        if b:
+            v += 1
+        if x >= n or v >= n:
+            break
+        if x > v:
+            v = x
+        else:
+            edges.append((x, v))
+    e = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+    if not edges:
+        e = e.limit(0)
+    g = Graph.from_edges(e, directed=False, combine="sum")
+    if n:
+        g = g.add_vertices(spark.range(n).select(F.col("id")))
+    return g

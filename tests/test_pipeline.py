@@ -332,3 +332,61 @@ def test_embedding_near_duplicates_hot_bucket_guard(spark, caplog):
     assert (1000, 1001) in got
     assert all(a >= 1000 for a, _ in got)
     assert any("hot bucket" in r.message for r in caplog.records)
+
+
+def test_png_codec_roundtrip_and_filters(spark):
+    import struct
+    import zlib
+
+    from networkx_spark.pipeline.multimodal import (_PNG_SIG, _png_chunk,
+                                                    decode_features,
+                                                    decode_png, encode_png,
+                                                    synthesize_media)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    assert (decode_png(encode_png(img)) == img).all()
+    gray = rng.integers(0, 256, size=(6, 11), dtype=np.uint8)
+    assert (decode_png(encode_png(gray)) == gray).all()
+
+    # hand-built PNG using Sub(1)/Up(2)/Average(3)/Paeth(4) filters: the
+    # decoder must un-apply each (the engine's encoder only emits 0)
+    px = rng.integers(0, 256, size=(4, 5, 3), dtype=np.uint8).astype(np.int32)
+    lines = []
+    prev = np.zeros(15, np.int32)
+    for y, f in enumerate([1, 2, 3, 4]):
+        cur = px[y].reshape(-1)
+        enc = np.zeros(15, np.int32)
+        for x in range(15):
+            a = cur[x - 3] if x >= 3 else 0
+            b = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            pred = {1: a, 2: b, 3: (a + b) // 2}.get(f)
+            if pred is None:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            enc[x] = (cur[x] - pred) % 256
+        lines.append(bytes([f]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", 5, 4, 8, 2, 0, 0, 0)
+    crafted = (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+               + _png_chunk(b"IDAT", zlib.compress(b"".join(lines)))
+               + _png_chunk(b"IEND", b""))
+    assert (decode_png(crafted) == px.astype(np.uint8)).all()
+
+    # corrupted CRC is rejected, not silently decoded
+    bad = bytearray(encode_png(img))
+    bad[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC|IEND|chunk"):
+        decode_png(bytes(bad))
+
+    # end-to-end over Spark: compressed payloads through the Arrow path
+    media = synthesize_media(spark, 5, kind="image", codec="png").cache()
+    assert media.select("meta.codec").distinct().collect()[0][0] == "png"
+    f1 = {r.media_id: tuple(r.features) for r in
+          decode_features(media, decoder="native", feature_dim=8).collect()}
+    f2 = {r.media_id: tuple(r.features) for r in
+          decode_features(media.repartition(3), decoder="native",
+                          feature_dim=8).collect()}
+    assert f1 == f2 and len(f1) == 5
+    assert all(0.0 <= v <= 1.0 for t in f1.values() for v in t)
