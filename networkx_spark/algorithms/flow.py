@@ -296,3 +296,48 @@ def cut_edges(g: Graph, partition: DataFrame,
                                F.col("side").alias("_sv")), DST)
             .filter((F.col("_su") == "s") & (F.col("_sv") == "t"))
             .select(SRC, DST, "capacity"))
+
+
+def gomory_hu_tree(g: Graph, capacity: str = "capacity",
+                   max_vertices: int = 64) -> DataFrame:
+    """(src, dst, weight) edges of a Gomory–Hu tree — every s-t min-cut
+    value in the graph equals the min edge weight on the tree's s-t path
+    (reference ``flow/gomory_hu.py:12``, Gusfield's algorithm).
+
+    n−1 sequential :func:`minimum_cut` phases, each a full augmenting-path
+    run — inherently phase-sequential, so the composition is capped at
+    ``max_vertices`` (the CNM/KL posture); each phase itself runs
+    distributed.  Undirected only, like the reference."""
+    if g.directed:
+        raise ValueError("gomory_hu_tree is undirected-only "
+                         "(reference @not_implemented_for('directed'))")
+    verts = sorted(r[ID] for r in g.vertices().collect())
+    n = len(verts)
+    if n > max_vertices:
+        raise ValueError(
+            f"gomory_hu_tree runs n-1 sequential max-flow phases; {n} "
+            f"vertices > max_vertices={max_vertices} — raise the cap "
+            "explicitly if the graph is genuinely this small")
+    if n == 0:
+        raise ValueError("Empty Graph (reference NetworkXError)")
+    spark = g.edges.sparkSession
+    parent = {v: verts[0] for v in verts[1:]}
+    weight = {}
+    for v in verts[1:]:
+        value, part = minimum_cut(g, v, parent[v], capacity=capacity)
+        reach = {r[ID] for r in part.filter("side = 's'").collect()}
+        weight[v] = value
+        for w in verts[1:]:
+            if w != v and w in reach and parent[w] == parent[v]:
+                parent[w] = v
+        # Gusfield update for the grandparent hop
+        p = parent[v]
+        if p != verts[0] and parent[p] in reach:
+            parent[v] = parent[p]
+            parent[p] = v
+            weight[v] = weight.get(p, value)
+            weight[p] = value
+    rows = [(v, parent[v], float(weight[v])) for v in verts[1:]]
+    id_type = g.edges.schema[SRC].dataType.simpleString()
+    return spark.createDataFrame(
+        rows, f"src {id_type}, dst {id_type}, weight double")

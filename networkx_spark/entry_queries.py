@@ -4360,6 +4360,27 @@ SQL_LFR_LOUVAIN_GOLDEN = (
     f"read_parquet('{GOLDEN_DIR}/lfr_louvain_200.parquet')")
 
 
+def q_steiner_tree(spark, sf_dir):
+    """Mehlhorn Steiner 2-approx on a distinct-weight fixture
+    (``algorithms/steiner.py``; reference
+    ``approximation/steinertree.py:130``) — distinct weights make the
+    Voronoi labels / terminal MST / expanded paths unique, so the edge
+    SET matches the reference run embedded as the oracle."""
+    from networkx_spark.algorithms.steiner import steiner_tree
+    edges = [(0, 1, 1.0), (1, 2, 2.2), (3, 4, 1.4), (4, 5, 2.7),
+             (0, 3, 3.1), (1, 4, 0.9), (2, 5, 4.3), (2, 4, 1.7),
+             (3, 1, 5.0)]
+    e = spark.createDataFrame(edges, "src long, dst long, weight double")
+    g = Graph.from_edges(e, directed=False, weight="weight", combine="min")
+    return steiner_tree(g, [0, 2, 5])
+
+
+SQL_STEINER = """
+SELECT src::BIGINT AS src, dst::BIGINT AS dst, weight::DOUBLE AS weight
+FROM (VALUES (0, 1, 1.0), (1, 2, 2.2), (2, 5, 4.3)) AS t(src, dst, weight)
+"""
+
+
 QUERIES.update({
     "bidirectional_dijkstra": (q_bidirectional_dijkstra, SQL_BIDI),
     "astar_path": (q_astar, SQL_BIDI),
@@ -4367,6 +4388,7 @@ QUERIES.update({
     "weight_matching_approx": (q_weight_matching_approx,
                                SQL_WEIGHT_MATCHING_GOLDEN),
     "lfr_louvain": (q_lfr_louvain, SQL_LFR_LOUVAIN_GOLDEN),
+    "steiner_tree": (q_steiner_tree, SQL_STEINER),
 })
 
 

@@ -111,3 +111,28 @@ def test_disconnected_sink_zero_flow(spark):
     value, part = minimum_cut(g, 0, 3)
     assert value == 0.0
     assert {r.id for r in part.filter("side = 's'").collect()} == {0, 1}
+
+
+def test_gomory_hu_tree_all_pairs_cut_values(spark):
+    """Gusfield tree parity: for every pair, the min edge on the tree path
+    equals the reference's s-t min-cut value."""
+    edges = [(0, 1, 3), (0, 2, 2), (1, 2, 2), (1, 3, 4), (2, 4, 5),
+             (3, 4, 1), (3, 5, 6), (4, 5, 2)]
+    G = nx.Graph()
+    for u, v, c in edges:
+        G.add_edge(u, v, capacity=c)
+    g = _g(spark, edges, directed=False)
+    from networkx_spark.algorithms.flow import gomory_hu_tree
+    rows = gomory_hu_tree(g).collect()
+    T = nx.Graph()
+    for r in rows:
+        T.add_edge(r.src, r.dst, weight=r.weight)
+    assert nx.is_tree(T) and set(T) == set(G)
+    for s in G:
+        for t in G:
+            if s < t:
+                want = nx.minimum_cut_value(G, s, t)
+                path = nx.shortest_path(T, s, t)
+                got = min(T[a][b]["weight"]
+                          for a, b in zip(path, path[1:]))
+                assert got == pytest.approx(want), (s, t)
