@@ -4381,6 +4381,36 @@ FROM (VALUES (0, 1, 1.0), (1, 2, 2.2), (2, 5, 4.3)) AS t(src, dst, weight)
 """
 
 
+TSP_W = {(0, 1): 0.667169, (0, 2): 0.42937, (0, 3): 0.374051,
+         (0, 4): 0.828876, (0, 5): 0.240728, (0, 6): 0.579318,
+         (1, 2): 1.007406, (1, 3): 0.540612, (1, 4): 0.687147,
+         (1, 5): 0.535779, (1, 6): 0.254135, (2, 3): 0.80219,
+         (2, 4): 0.857018, (2, 5): 0.471816, (2, 6): 0.831517,
+         (3, 4): 1.006426, (3, 5): 0.484537, (3, 6): 0.610037,
+         (4, 5): 0.589778, (4, 6): 0.449017, (5, 6): 0.376938}
+
+
+def q_greedy_tsp(spark, sf_dir):
+    """Greedy nearest-neighbour TSP tour on a fixed 7-city euclidean
+    instance (``algorithms/tsp.py``; reference
+    ``traveling_salesman.py:936``) — deterministic min-weight scan, so the
+    tour matches the reference's run embedded as the oracle."""
+    from networkx_spark.algorithms.tsp import greedy_tsp
+    e = spark.createDataFrame([(u, v, x) for (u, v), x in TSP_W.items()],
+                              "src long, dst long, weight double")
+    g = Graph.from_edges(e, directed=False, weight="weight", combine="min")
+    cycle, total = greedy_tsp(g, source=0)
+    return spark.createDataFrame(
+        [(i, int(v)) for i, v in enumerate(cycle)], "pos long, city long")
+
+
+SQL_GREEDY_TSP = """
+SELECT pos::BIGINT AS pos, city::BIGINT AS city FROM (VALUES
+(0, 0), (1, 5), (2, 6), (3, 1), (4, 3), (5, 2), (6, 4), (7, 0))
+AS t(pos, city)
+"""
+
+
 QUERIES.update({
     "bidirectional_dijkstra": (q_bidirectional_dijkstra, SQL_BIDI),
     "astar_path": (q_astar, SQL_BIDI),
@@ -4389,6 +4419,7 @@ QUERIES.update({
                                SQL_WEIGHT_MATCHING_GOLDEN),
     "lfr_louvain": (q_lfr_louvain, SQL_LFR_LOUVAIN_GOLDEN),
     "steiner_tree": (q_steiner_tree, SQL_STEINER),
+    "greedy_tsp": (q_greedy_tsp, SQL_GREEDY_TSP),
 })
 
 
