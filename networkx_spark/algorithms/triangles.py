@@ -55,8 +55,17 @@ def _oriented(g: Graph) -> DataFrame:
     )
 
 
-def triangle_corners(g: Graph) -> DataFrame:
-    """One row (a, b, c) per triangle in the graph (a = lowest-ranked corner)."""
+def triangle_corners(g: Graph,
+                     broadcast_threshold: int = 5_000_000) -> DataFrame:
+    """One row (a, b, c) per triangle in the graph (a = lowest-ranked
+    corner).
+
+    The wedge set is Σd_out² ≈ m^1.5 rows — orders of magnitude larger
+    than the edge table — so the closing-edge check must not shuffle it:
+    below ``broadcast_threshold`` edges the closing side is broadcast
+    (hash semi-join streams the wedges in place, no exchange); above it
+    the plan falls back to a shuffled semi-join, the correct shape when
+    the edge table itself no longer fits an executor."""
     o = _oriented(g).cache()
     left = o.select("a", F.col("b").alias("b"), F.col("b_deg").alias("bd"))
     right = o.select(F.col("a").alias("a2"), F.col("b").alias("c"), F.col("b_deg").alias("cd"))
@@ -65,6 +74,8 @@ def triangle_corners(g: Graph) -> DataFrame:
                          ((F.col("bd") == F.col("cd")) & (F.col("b") < F.col("c")))))
               .select("a", "b", "c"))
     closing = o.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    if o.count() <= broadcast_threshold:
+        closing = F.broadcast(closing)
     tri = wedges.join(closing, ["b", "c"], "semi")
     return tri
 

@@ -901,3 +901,80 @@ def from_sparse6_bytes(spark: SparkSession, raw: bytes) -> Graph:
     if n:
         g = g.add_vertices(spark.range(n).select(F.col("id")))
     return g
+
+
+# ------------------------------------------------------------- LEDA
+def parse_leda(text: str | bytes) -> Graph:
+    """LEDA.GRAPH text → engine Graph (``readwrite/leda.py:50``
+    ``parse_leda``): 3 header lines, -1/-2 directedness flag, n node
+    lines ``|{label}|`` (1-indexed, empty label → its index), m edge
+    lines ``s t reversal |{label}|``.  Edge labels land in the edge-attr
+    side table; reversal edges are untouched, like the reference."""
+    if isinstance(text, bytes):
+        text = text.decode("utf-8")
+    lines = [ln.rstrip("\n") for ln in text.split("\n")
+             if ln and not ln.startswith("#")]
+    it = iter(lines)
+    for _ in range(3):
+        next(it)
+    du = int(next(it))
+    directed = du == -1
+    n = int(next(it))
+    node = {}
+    for i in range(1, n + 1):
+        symbol = next(it).rstrip().strip("|{}|  ")
+        node[i] = symbol if symbol else str(i)
+    m = int(next(it))
+    edges = []
+    for i in range(m):
+        try:
+            s, t, _reversal, label = next(it).split()
+        except Exception as err:  # noqa: BLE001
+            raise ValueError(f"Too few fields in LEDA.GRAPH edge {i + 1} "
+                             "(reference NetworkXError)") from err
+        edges.append((node[int(s)], node[int(t)], label[2:-2]))
+    from networkx_spark.session import get_spark
+    spark = get_spark()
+    e = spark.createDataFrame(edges or [("", "", "")],
+                              "src string, dst string, label string")
+    if not edges:
+        e = e.limit(0)
+    v = spark.createDataFrame([(s,) for s in node.values()] or [("",)],
+                              "id string")
+    if not node:
+        v = v.limit(0)
+    g = Graph.from_edges(e.select(SRC, DST), directed=directed, vertices=v)
+    return g.with_edge_attrs(e.select(SRC, DST, "label"))
+
+
+def read_leda(spark: SparkSession, path: str) -> Graph:
+    """``readwrite/leda.py:23`` (plain files; the reference's gz/bz2
+    sugar is out of scope)."""
+    with open(path, "rb") as fh:
+        return parse_leda(fh.read())
+
+
+def write_leda(g: Graph, path: str) -> None:
+    """LEDA.GRAPH writer (the reference ships only the reader; the writer
+    exists so round-trips are testable).  Nodes sort by id; labels are
+    the vertex ids; edge label = the ``label`` edge attribute if present
+    else empty."""
+    directed = g.directed
+    verts = [str(r[ID]) for r in g.vertices().orderBy(ID).collect()]
+    idx = {v: i + 1 for i, v in enumerate(verts)}
+    lab = {}
+    attrs = g.edge_attr("label")
+    if "label" in attrs.columns:
+        for r in attrs.collect():
+            lab[(str(r[SRC]), str(r[DST]))] = r["label"] or ""
+    rows = g.edges.select(SRC, DST).collect()
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write("LEDA.GRAPH\nstring\nshort\n")
+        fh.write("-1\n" if directed else "-2\n")
+        fh.write(f"{len(verts)}\n")
+        for v in verts:
+            fh.write(f"|{{{v}}}|\n")
+        fh.write(f"{len(rows)}\n")
+        for r in rows:
+            s, t = str(r[SRC]), str(r[DST])
+            fh.write(f"{idx[s]} {idx[t]} 0 |{{{lab.get((s, t), '')}}}|\n")

@@ -61,3 +61,51 @@ def test_validation(spark):
         to_sparse6_bytes(Graph(
             spark.createDataFrame([(0, 1)], "src long, dst long"),
             directed=True))
+
+
+def test_leda_parse_matches_reference(spark):
+    import networkx as nx
+
+    from networkx_spark.readwrite import parse_leda, read_leda, write_leda
+    text = """LEDA.GRAPH
+string
+short
+-2
+5
+|{v1}|
+|{v2}|
+|{v3}|
+|{v4}|
+|{v5}|
+7
+1 2 0 |{4}|
+1 3 0 |{3}|
+2 3 0 |{2}|
+3 4 0 |{3}|
+3 5 0 |{7}|
+4 5 0 |{6}|
+5 1 0 |{foo}|
+"""
+    G = nx.parse_leda(text)
+    g = parse_leda(text)
+    got = {(r.src, r.dst) for r in g.edges.collect()}
+    want = {tuple(sorted(e)) for e in G.edges}
+    assert got == want
+    assert not g.directed
+    assert {r.id for r in g.vertices().collect()} == set(G.nodes)
+    lab = {(r.src, r.dst): r.label for r in g.edge_attr("label").collect()}
+    assert lab[("v1", "v2")] == "4" and lab[("v1", "v5")] == "foo"
+
+    # directed flag + empty labels + round-trip through the writer
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".leda", delete=False) as fh:
+        path = fh.name
+    write_leda(g, path)
+    back = read_leda(spark, path)
+    assert {(r.src, r.dst) for r in back.edges.collect()} == got
+    assert back.directed == g.directed
+
+    dtext = text.replace("-2", "-1")
+    assert parse_leda(dtext).directed
+    with pytest.raises(ValueError, match="Too few fields"):
+        parse_leda(text.replace("5 1 0 |{foo}|", "5 1"))
