@@ -106,28 +106,35 @@ def resource_allocation_index(g: Graph, pairs: Optional[DataFrame] = None) -> Da
             .agg(F.sum(F.lit(1.0) / F.col("deg")).alias("score")))
 
 
-def adamic_adar_index(g: Graph, pairs: Optional[DataFrame] = None) -> DataFrame:
+def adamic_adar_index(g: Graph, pairs: Optional[DataFrame] = None,
+                      cn: Optional[DataFrame] = None) -> DataFrame:
     """(u, v, score) with AA(u,v) = Σ 1/log(deg(w))
     (``link_prediction.py:180``).  deg(w) = 1 (log 0) cannot occur: a common
-    neighbor has ≥ 2 neighbors by construction."""
+    neighbor has ≥ 2 neighbors by construction.  ``cn`` lets callers reuse
+    a cached :func:`_common_neighbors` table across several indices (the
+    wedge expansion dominates the cost)."""
     _require_undirected(g, "adamic_adar_index")
     adj = _adj(g)
     deg = _neighbor_set_sizes(adj).withColumnRenamed(ID, W)
-    cn = _common_neighbors(adj, _pairs_or_candidates(g, pairs))
+    if cn is None:
+        cn = _common_neighbors(adj, _pairs_or_candidates(g, pairs))
     return (cn.join(deg, W)
             .groupBy(U, V)
             .agg(F.sum(F.lit(1.0) / F.log(F.col("deg"))).alias("score")))
 
 
-def jaccard_coefficient(g: Graph, pairs: Optional[DataFrame] = None) -> DataFrame:
+def jaccard_coefficient(g: Graph, pairs: Optional[DataFrame] = None,
+                        cn: Optional[DataFrame] = None) -> DataFrame:
     """(u, v, score) with J(u,v) = |CN| / |N(u) ∪ N(v)|
     (``link_prediction.py:115``; union size via inclusion-exclusion on the
-    neighbor-SET sizes, so self-loops and parallel edges never double-count)."""
+    neighbor-SET sizes, so self-loops and parallel edges never double-count).
+    ``cn`` as in :func:`adamic_adar_index`."""
     _require_undirected(g, "jaccard_coefficient")
     adj = _adj(g)
     deg = _neighbor_set_sizes(adj)
-    cn = (_common_neighbors(adj, _pairs_or_candidates(g, pairs))
-          .groupBy(U, V).agg(F.count("*").alias("_cn")))
+    if cn is None:
+        cn = _common_neighbors(adj, _pairs_or_candidates(g, pairs))
+    cn = cn.groupBy(U, V).agg(F.count("*").alias("_cn"))
     du = deg.select(F.col(ID).alias(U), F.col("deg").alias("_du"))
     dv = deg.select(F.col(ID).alias(V), F.col("deg").alias("_dv"))
     return (cn.join(du, U).join(dv, V)

@@ -978,7 +978,7 @@ def q_jaccard_lp(spark, sf_dir):
     # identical value) bounds the gate's collect+sort+hash to a few
     # thousand rows — the unbounded candidate set is 645k rows at sf0.01,
     # which made the whole 43-query driver gate blow its budget in round 3
-    return (jaccard_coefficient(g, pairs=_lp_pairs(spark, sf_dir))
+    return (jaccard_coefficient(g, cn=_lp_cn(spark, sf_dir))
             .select("u", "v", F.round("score", 6).alias("score"))
             .filter(F.col("score") >= 0.09))
 
@@ -991,6 +991,18 @@ def _lp_pairs(spark, sf_dir):
     def build():
         return candidate_pairs(derived_graph(spark, sf_dir, directed=False))
     return _shared(spark, ("lp_pairs", sf_dir), build)
+
+
+def _lp_cn(spark, sf_dir):
+    """Shared common-neighbor expansion (u, v, w) over the candidate set —
+    the second expensive stage both LP rows pay; one cached copy."""
+    from networkx_spark.algorithms.link_prediction import (_adj,
+                                                           _common_neighbors)
+
+    def build():
+        g = derived_graph(spark, sf_dir, directed=False)
+        return _common_neighbors(_adj(g), _lp_pairs(spark, sf_dir))
+    return _shared(spark, ("lp_cn", sf_dir), build)
 
 
 # shared SQL prelude: undirected adjacency, neighbor-set sizes, wedge pairs
@@ -1024,7 +1036,7 @@ def q_adamic_adar_lp(spark, sf_dir):
     g = derived_graph(spark, sf_dir, directed=False)
     # bounded like q_jaccard_lp (round-3 gate blowout); threshold on the
     # rounded score keeps the two engines' cuts identical
-    return (adamic_adar_index(g, pairs=_lp_pairs(spark, sf_dir))
+    return (adamic_adar_index(g, cn=_lp_cn(spark, sf_dir))
             .select("u", "v", F.round("score", 6).alias("score"))
             .filter(F.col("score") >= 4.5))
 
