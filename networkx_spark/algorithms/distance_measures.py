@@ -359,3 +359,88 @@ def gutman_index(g: Graph, max_depth: int = 10_000) -> float:
     (reference ``wiener.py:166`` ``gutman_index``; same degree quirk as
     :func:`schultz_index`)."""
     return _degree_distance_sum(g, lambda a, b: a * b, max_depth)
+
+
+def resistance_distance(g: Graph, nodeA=None, nodeB=None,
+                        weight: str | None = None,
+                        invert_weight: bool = True,
+                        max_vertices: int = 2_000):
+    """Resistance distance via the Laplacian pseudo-inverse (reference
+    ``distance_measures.py:639``): r(a, b) = L⁺[a,a] + L⁺[b,b] − 2·L⁺[a,b].
+
+    ``weight`` names the conductance attribute; ``invert_weight`` treats it
+    as a resistance (1/w conductance), like the reference.  Both nodes
+    given → float; else a DataFrame (a, b, resistance) of the requested
+    slice (one node → its row; none → all pairs).  Dense pinv is O(n³)
+    driver numpy — capped, the spectral-kernel posture of
+    ``spectral.py``; self-loops are ignored like the reference."""
+    import numpy as np
+
+    if g.directed:
+        raise ValueError("resistance_distance is undirected-only "
+                         "(reference @not_implemented_for('directed'))")
+    verts = sorted((r[ID] for r in g.vertices().collect()),
+                   key=lambda x: (isinstance(x, str), x))
+    n = len(verts)
+    if n == 0:
+        raise ValueError("Graph G must contain at least one node. "
+                         "(reference NetworkXError)")
+    if n > max_vertices:
+        raise ValueError(f"resistance_distance pinv kernel capped at "
+                         f"{max_vertices} vertices (got {n})")
+    from networkx_spark.algorithms.components import connected_components
+    ncomp = (connected_components(g).select("component").distinct().count())
+    if ncomp != 1:
+        raise ValueError("Graph G must be strongly connected. "
+                         "(reference NetworkXError)")
+    for node, nm in ((nodeA, "A"), (nodeB, "B")):
+        if node is not None and node not in verts:
+            raise ValueError(f"Node {nm} is not in graph G. "
+                             "(reference NetworkXError)")
+    idx = {v: i for i, v in enumerate(verts)}
+    wcol = (F.col(weight).cast("double") if weight and
+            weight in g.edges.columns else None)
+    rows = (g.edges.filter(F.col(SRC) != F.col(DST))
+            .select(SRC, DST, (wcol if wcol is not None else F.lit(1.0))
+                    .alias("_w")).collect())
+    L = np.zeros((n, n))
+    for r in rows:
+        c = float(r["_w"])
+        if weight is not None and invert_weight:
+            c = 1.0 / c
+        i, j = idx[r[SRC]], idx[r[DST]]
+        L[i, j] -= c
+        L[j, i] -= c
+        L[i, i] += c
+        L[j, j] += c
+    Li = np.linalg.pinv(L, hermitian=True)
+    diag = np.diag(Li)
+    R = diag[:, None] + diag[None, :] - Li - Li.T
+    if nodeA is not None and nodeB is not None:
+        return float(R[idx[nodeA], idx[nodeB]])
+    spark = g.edges.sparkSession
+    if nodeA is not None or nodeB is not None:
+        a = nodeA if nodeA is not None else nodeB
+        data = [(a, v, round(float(R[idx[a], idx[v]]), 12)) for v in verts]
+    else:
+        data = [(u, v, round(float(R[idx[u], idx[v]]), 12))
+                for u in verts for v in verts]
+    id_t = g.edges.schema[SRC].dataType.simpleString()
+    return spark.createDataFrame(data,
+                                 f"a {id_t}, b {id_t}, resistance double")
+
+
+def effective_graph_resistance(g: Graph, weight: str | None = None,
+                               invert_weight: bool = True,
+                               max_vertices: int = 2_000) -> float:
+    """Kirchhoff index: Σ over unordered pairs of r(u, v) = n · tr(L⁺)
+    (reference ``distance_measures.py:780``; infinite for disconnected
+    graphs there — this kernel raises instead, naming the reference
+    semantics)."""
+    import numpy as np
+
+    df = resistance_distance(g, weight=weight,
+                             invert_weight=invert_weight,
+                             max_vertices=max_vertices)
+    tot = df.agg(F.sum("resistance")).collect()[0][0] or 0.0
+    return float(tot) / 2.0

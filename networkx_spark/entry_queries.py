@@ -4423,7 +4423,28 @@ AS t(pos, city)
 """
 
 
+def q_resistance(spark, sf_dir):
+    """Resistance distances from vertex 0 of the 4-cycle — closed-form
+    electrical values (series/parallel reduction: 3/4 adjacent, 1
+    opposite) as the engine-independent oracle
+    (``distance_measures.py:resistance_distance``; reference ``:639``)."""
+    from networkx_spark.algorithms.distance_measures import resistance_distance
+    from networkx_spark.graph import Graph
+    g = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 0)],
+                             directed=False)
+    return (resistance_distance(g, nodeA="0")
+            .select(F.col("b").cast("long").alias("b"),
+                    F.round("resistance", 6).alias("resistance")))
+
+
+SQL_RESISTANCE = """
+SELECT b::BIGINT AS b, r::DOUBLE AS resistance FROM (VALUES
+(0, 0.0), (1, 0.75), (2, 1.0), (3, 0.75)) AS t(b, r)
+"""
+
+
 QUERIES.update({
+    "resistance_distance": (q_resistance, SQL_RESISTANCE),
     "bidirectional_dijkstra": (q_bidirectional_dijkstra, SQL_BIDI),
     "astar_path": (q_astar, SQL_BIDI),
     "max_weight_matching": (q_max_weight_matching, SQL_MAX_WEIGHT_MATCHING),

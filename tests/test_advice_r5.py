@@ -86,3 +86,38 @@ def test_percolation_small_graph_raises(spark):
     g = Graph.from_edge_list(spark, [(0, 1)], directed=False)
     with pytest.raises(ZeroDivisionError):
         percolation_centrality(g, {0: 0.5, 1: 0.5})
+
+
+def test_resistance_distance_closed_forms(spark):
+    """Textbook electrical values: series resistors on a path, the 2/3
+    triangle, the 3/4-vs-1 square — an oracle independent of the
+    reference (whose pinv path needs scipy, absent here)."""
+    from networkx_spark.algorithms.distance_measures import (
+        effective_graph_resistance, resistance_distance)
+
+    path = Graph.from_edge_list(spark, [(0, 1), (1, 2)], directed=False)
+    assert resistance_distance(path, "0", "2") == pytest.approx(2.0)
+    tri = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 0)],
+                               directed=False)
+    assert resistance_distance(tri, "0", "1") == pytest.approx(2 / 3)
+    sq = Graph.from_edge_list(spark, [(0, 1), (1, 2), (2, 3), (3, 0)],
+                              directed=False)
+    assert resistance_distance(sq, "0", "1") == pytest.approx(3 / 4)
+    assert resistance_distance(sq, "0", "2") == pytest.approx(1.0)
+    # weighted: resistance attribute (invert_weight) — two parallel 2-ohm
+    # wires = 1 ohm
+    par = Graph.from_edge_list(
+        spark, [(0, 1, 2.0), (0, 2, 1.0), (2, 1, 1.0)], directed=False)
+    got = resistance_distance(par, "0", "1", weight="weight")
+    assert got == pytest.approx(1.0)
+    # Kirchhoff index of the triangle: 3 pairs x 2/3
+    assert effective_graph_resistance(tri) == pytest.approx(2.0)
+    # full-slice DataFrame form is symmetric with a zero diagonal
+    allp = {(r.a, r.b): r.resistance
+            for r in resistance_distance(sq).collect()}
+    assert allp[("0", "0")] == pytest.approx(0.0)
+    assert allp[("1", "3")] == pytest.approx(allp[("3", "1")])
+    # disconnected input raises like the reference
+    disc = Graph.from_edge_list(spark, [(0, 1), (2, 3)], directed=False)
+    with pytest.raises(ValueError, match="connected"):
+        resistance_distance(disc, "0", "3")
