@@ -159,3 +159,94 @@ def max_weight_matching_approx(g: Graph, weight: str = WEIGHT,
         raise RuntimeError("max_weight_matching_approx did not converge")
     finally:
         runner.close()
+
+
+def is_matching(g: Graph, matching: DataFrame) -> bool:
+    """True iff ``matching`` (src, dst rows) is a valid matching in g —
+    real edges, no shared endpoints (reference ``matching.py:18``)."""
+    m = matching.select(F.col(matching.columns[0]).cast("string").alias(SRC),
+                        F.col(matching.columns[1]).cast("string").alias(DST))
+    e = (g.symmetrized().select(F.col(SRC).cast("string").alias(SRC),
+                                F.col(DST).cast("string").alias(DST)))
+    if m.join(e, [SRC, DST], "anti").limit(1).count():
+        return False                       # non-edge in the matching
+    ends = m.select(F.col(SRC).alias(ID)).unionAll(
+        m.select(F.col(DST).alias(ID)))
+    return ends.groupBy(ID).count().filter("count > 1").limit(1).count() == 0
+
+
+def is_maximal_matching(g: Graph, matching: DataFrame) -> bool:
+    """True iff valid and no edge can be added (reference
+    ``matching.py:147``): every graph edge touches a matched vertex."""
+    if not is_matching(g, matching):
+        return False
+    m = matching.select(F.col(matching.columns[0]).cast("string").alias(SRC),
+                        F.col(matching.columns[1]).cast("string").alias(DST))
+    ends = (m.select(F.col(SRC).alias(ID))
+            .unionAll(m.select(F.col(DST).alias(ID))).distinct())
+    e = (g.edges.filter(F.col(SRC) != F.col(DST))
+         .select(F.col(SRC).cast("string").alias(SRC),
+                 F.col(DST).cast("string").alias(DST)))
+    free = (e.join(ends.withColumnRenamed(ID, SRC), SRC, "anti")
+            .join(ends.withColumnRenamed(ID, DST), DST, "anti"))
+    return free.limit(1).count() == 0
+
+
+def is_perfect_matching(g: Graph, matching: DataFrame) -> bool:
+    """True iff valid and every vertex is matched (reference
+    ``matching.py:214``)."""
+    if not is_matching(g, matching):
+        return False
+    m = matching.select(F.col(matching.columns[0]).cast("string").alias(SRC),
+                        F.col(matching.columns[1]).cast("string").alias(DST))
+    ends = (m.select(F.col(SRC).alias(ID))
+            .unionAll(m.select(F.col(DST).alias(ID))).distinct())
+    verts = g.vertices().select(F.col(ID).cast("string").alias(ID))
+    return verts.join(ends, ID, "anti").limit(1).count() == 0
+
+
+def min_edge_cover(g: Graph, exact_threshold: int = 18) -> DataFrame:
+    """(src, dst) rows of a minimum edge cover (reference
+    ``covering.py:15``): a maximum matching extended so every vertex is
+    covered — |cover| = n − |maximum matching|.
+
+    Engine posture: the exact matching kernel below ``exact_threshold``
+    vertices (true minimum, reference parity); above it the distributed
+    locally-dominant maximal matching seeds the extension — still a valid
+    cover, within |maximal − maximum| of the optimum, computed with no
+    driver state.  Raises on isolated vertices like the reference."""
+    if g.directed:
+        raise ValueError("min_edge_cover is undirected-only "
+                         "(reference matchings are undirected)")
+    if g.isolates().limit(1).count():
+        raise ValueError("Graph has a node with no edge incident on it, "
+                         "so no edge cover exists. (reference "
+                         "NetworkXException)")
+    spark = g.edges.sparkSession
+    n = g.number_of_vertices()
+    if n <= exact_threshold:
+        pairs = max_weight_matching(g, maxcardinality=True,
+                                    max_vertices=exact_threshold)
+        src_type = g.edges.schema[SRC].dataType.simpleString()
+        rows = [(u, v) for u, v in pairs]
+        if src_type != "string":
+            rows = [(int(u), int(v)) for u, v in rows]
+        m = spark.createDataFrame(rows or [(None, None)],
+                                  f"src {src_type}, dst {src_type}")
+        if not rows:
+            m = m.limit(0)
+    else:
+        m = max_weight_matching_approx(g).select(SRC, DST)
+    ends = (m.select(F.col(SRC).alias(ID))
+            .unionByName(m.select(F.col(DST).alias(ID))).distinct())
+    sym = (g.symmetrized().filter(F.col(SRC) != F.col(DST))
+           .select(F.col(SRC).alias(ID), F.col(DST).alias("nbr")))
+    ext = (g.vertices().join(ends, ID, "anti")
+           .join(sym, ID)
+           .groupBy(ID).agg(F.min("nbr").alias("nbr"))
+           .select(F.least(ID, "nbr").alias(SRC),
+                   F.greatest(ID, "nbr").alias(DST)))
+    cover = (m.select(F.least(SRC, DST).alias(SRC),
+                      F.greatest(SRC, DST).alias(DST))
+             .unionByName(ext).distinct())
+    return cover

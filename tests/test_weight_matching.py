@@ -83,3 +83,43 @@ def test_approx_half_bound_and_validity(spark):
             directed=False, weight="weight", combine="max"))
     assert ({(r.src, r.dst) for r in out}
             == {(r.src, r.dst) for r in again.collect()})
+
+
+def test_matching_predicates(spark):
+    from networkx_spark.algorithms.matching import (is_matching,
+                                                    is_maximal_matching,
+                                                    is_perfect_matching)
+    g = _g(spark, [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 0, 1)])
+
+    def m(pairs):
+        return spark.createDataFrame(list(pairs) or [(0, 0)],
+                                     "src long, dst long").limit(len(pairs))
+    assert is_matching(g, m([(0, 1), (2, 3)]))
+    assert not is_matching(g, m([(0, 1), (1, 2)]))      # shared endpoint
+    assert not is_matching(g, m([(0, 2)]))              # non-edge
+    assert is_maximal_matching(g, m([(0, 1), (2, 3)]))
+    assert not is_maximal_matching(g, m([(0, 1)]))      # (2,3) addable
+    assert is_perfect_matching(g, m([(0, 1), (2, 3)]))
+    assert not is_perfect_matching(g, m([(0, 1)]))
+
+
+def test_min_edge_cover_matches_reference_size(spark):
+    from networkx_spark.algorithms.matching import min_edge_cover
+    fixtures = [
+        [(0, 1, 1), (1, 2, 1), (2, 3, 1), (3, 4, 1)],        # path P5
+        [(0, 1, 1), (0, 2, 1), (0, 3, 1)],                    # star
+        [(0, 1, 1), (1, 2, 1), (2, 0, 1), (3, 4, 1)],         # tri + edge
+    ]
+    for edges in fixtures:
+        G = _G(edges)
+        want = len(nx.min_edge_cover(G))
+        rows = min_edge_cover(_g(spark, edges)).collect()
+        got = {(r.src, r.dst) for r in rows}
+        assert len(got) == want, (edges, got)
+        covered = {v for e in got for v in e}
+        assert covered == set(G.nodes)
+        assert all(G.has_edge(int(u), int(v)) for u, v in got)
+    # isolated vertex raises
+    g = Graph.from_edge_list(spark, [(0, 1)], directed=False, nodes=[0, 1, 2])
+    with pytest.raises(ValueError, match="no edge incident"):
+        min_edge_cover(g)
